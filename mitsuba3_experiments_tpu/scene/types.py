@@ -1,0 +1,150 @@
+"""Flat device scene representation.
+
+The Mitsuba C++ scene graph (shapes, BSDF/emitter plugin instances, OptiX
+geometry — see SURVEY.md section 2.2) becomes a handful of flat arrays: XLA-
+friendly structure-of-arrays tables indexed by per-lane integer ids, with
+polymorphism resolved by masked multiplexing over the `kind` column instead of
+vcalls (/root/reference/patch.py:14-44's dr.dispatch has no TPU analog).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.distributions import DiscreteDistribution
+from ..core.struct import jstruct, static_field
+
+
+# BSDF kinds (material table `kind` column).
+class BSDFKind:
+    DIFFUSE = 0
+    CONDUCTOR = 1
+    ROUGH_CONDUCTOR = 2
+    DIELECTRIC = 3
+    ROUGH_DIELECTRIC = 4
+    PLASTIC = 5
+    ROUGH_PLASTIC = 6
+    MASK = 7
+    NULL = 8
+
+    COUNT = 9
+
+
+@jstruct
+class Geometry:
+    """Indexed triangle soup with per-face material/emitter binding."""
+
+    vertices: jnp.ndarray      # (V, 3) f32, world space (pre-transformed)
+    normals: jnp.ndarray       # (V, 3) f32 vertex shading normals
+    uvs: jnp.ndarray           # (V, 2) f32
+    faces: jnp.ndarray         # (F, 3) i32
+    face_mat: jnp.ndarray      # (F,) i32 material row
+    face_emitter: jnp.ndarray  # (F,) i32 emitter row or -1
+    face_shape: jnp.ndarray    # (F,) i32 source shape index
+    face_flat: jnp.ndarray     # (F,) bool: use geometric normal for shading
+
+
+@jstruct
+class MaterialTable:
+    """One row per BSDF instance.
+
+    param layout by kind (columns of `params`):
+      DIFFUSE:          base_color = reflectance
+      CONDUCTOR:        params[0:3] = eta, params[3:6] = k, base_color = tint
+      ROUGH_CONDUCTOR:  + params[6] = alpha
+      DIELECTRIC:       params[0] = int_ior / ext_ior (relative eta)
+      ROUGH_DIELECTRIC: + params[6] = alpha
+      PLASTIC:          base_color = diffuse refl., params[0] = eta,
+                        params[1] = internal Fresnel diffuse reflectance
+      ROUGH_PLASTIC:    + params[6] = alpha
+      MASK:             base_color = opacity, nested_id = wrapped BSDF row
+    """
+
+    kind: jnp.ndarray        # (M,) i32 BSDFKind
+    base_color: jnp.ndarray  # (M, 3) f32
+    params: jnp.ndarray      # (M, 8) f32
+    tex_id: jnp.ndarray      # (M,) i32 bitmap texture for base_color, -1 none
+    flags: jnp.ndarray       # (M,) i32 BSDFFlags union of lobes
+    twosided: jnp.ndarray    # (M,) bool
+    nested_id: jnp.ndarray   # (M,) i32 (MASK wrapper), -1 none
+
+
+@jstruct
+class TextureAtlas:
+    """Stacked bitmap textures padded to a common resolution."""
+
+    data: jnp.ndarray   # (T, Hmax, Wmax, 3) f32
+    size: jnp.ndarray   # (T, 2) i32 actual (h, w)
+
+
+@jstruct
+class EmitterTable:
+    """Area emitters flattened to the set of emissive faces.
+
+    NEE samples a face from a *power-weighted* global distribution over all
+    emissive faces, then a uniform point on that face.  (Mitsuba picks an
+    emitter uniformly, then area-samples the shape; the power weighting is
+    the better importance sampler and stays unbiased — pdfs are consistent
+    between sample_direction and pdf_direction below.)
+    """
+
+    radiance: jnp.ndarray         # (E, 3) f32 per emitter
+    em_face: jnp.ndarray          # (EF,) i32 emissive face ids
+    em_face_emitter: jnp.ndarray  # (EF,) i32 emitter row per emissive face
+    em_face_area: jnp.ndarray     # (EF,) f32 world-space area
+    face_dist: DiscreteDistribution  # over EF slots (weight = area * power)
+    face_to_slot: jnp.ndarray     # (F,) i32 global face -> EF slot or -1
+
+
+@jstruct
+class Camera:
+    """Perspective pinhole camera, Mitsuba convention: local +Z = view
+    direction, +Y = up, +X = left (see core.math.look_at)."""
+
+    to_world: jnp.ndarray   # (4, 4) f32
+    tan_half_fov: jnp.ndarray  # (2,) f32: (tan(fov_x/2), tan(fov_y/2))
+    resolution: tuple = static_field(default=(256, 256))  # (W, H)
+
+    @property
+    def width(self):
+        return self.resolution[0]
+
+    @property
+    def height(self):
+        return self.resolution[1]
+
+
+@jstruct
+class BVH:
+    """Implicit balanced binary BVH over Morton-ordered triangles.
+
+    `n_leaves` is a power of two; leaves hold `leaf_size` consecutive entries
+    of `prim_order` (padded with -1).  Node i's children are 2i+1 / 2i+2;
+    nodes with index >= n_leaves-1 are leaves.  Empty leaves carry inverted
+    bounds so the slab test always misses.  No pointers => the whole build is
+    vectorized segment-reduces (scene/bvh.py) and traversal needs no
+    child-index gathers, only bounds gathers.
+    """
+
+    bounds_lo: jnp.ndarray  # (2*n_leaves-1, 3) f32
+    bounds_hi: jnp.ndarray  # (2*n_leaves-1, 3) f32
+    prim_order: jnp.ndarray  # (n_leaves * leaf_size,) i32, -1 padded
+    n_leaves: int = static_field(default=1)
+    leaf_size: int = static_field(default=4)
+
+
+@jstruct
+class Scene:
+    geometry: Geometry
+    materials: MaterialTable
+    emitters: EmitterTable
+    camera: Camera
+    textures: TextureAtlas
+    bvh: BVH
+    # Pre-gathered per-face triangle vertices (F, 3, 3) in BVH prim order —
+    # the hot intersection path reads these contiguously instead of chasing
+    # the index buffer (AoS-over-SoA like the reference's path buffers).
+    tri_verts: jnp.ndarray
+
+    @property
+    def n_faces(self):
+        return self.geometry.faces.shape[0]
