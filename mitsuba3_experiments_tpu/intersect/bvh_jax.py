@@ -150,11 +150,19 @@ def _traverse(bvh_lo, bvh_hi, tri_verts, n_leaves, leaf_size, o, d, maxt,
     return t_out, slot_best, u_best, v_best
 
 
+# Scenes at or below this many triangle slots skip the BVH entirely: a dense
+# all-triangles test is pure VPU work with zero gathers — faster on TPU for
+# small scenes (cornell box) and exactly what the MXU-friendly layout wants.
+BRUTE_FORCE_MAX_SLOTS = 64
+
+
 def ray_intersect(scene: Scene, ray: Ray, active=None) -> SurfaceInteraction:
     """Closest-hit query returning a full SurfaceInteraction."""
     n = ray.o.shape[0]
     if active is None:
         active = jnp.ones((n,), bool)
+    if scene.tri_verts.shape[0] <= BRUTE_FORCE_MAX_SLOTS:
+        return ray_intersect_brute(scene, ray, active)
     t, slot, u, v = _traverse(
         scene.bvh.bounds_lo, scene.bvh.bounds_hi, scene.tri_verts,
         scene.bvh.n_leaves, scene.bvh.leaf_size,
@@ -168,6 +176,9 @@ def ray_test(scene: Scene, ray: Ray, active=None):
     n = ray.o.shape[0]
     if active is None:
         active = jnp.ones((n,), bool)
+    if scene.tri_verts.shape[0] <= BRUTE_FORCE_MAX_SLOTS:
+        si = ray_intersect_brute(scene, ray, active)
+        return si.prim_idx >= 0
     t, slot, _, _ = _traverse(
         scene.bvh.bounds_lo, scene.bvh.bounds_hi, scene.tri_verts,
         scene.bvh.n_leaves, scene.bvh.leaf_size,
@@ -183,8 +194,9 @@ def ray_intersect_brute(scene: Scene, ray: Ray, active=None) -> SurfaceInteracti
         active = jnp.ones((n,), bool)
     P = scene.tri_verts.shape[0]
     maxt = jnp.where(active, ray.maxt, 0.0)
+    # (1, P, 3, 3) broadcasts against (N, 1, 3) rays — XLA fuses, no materialize
     t, u, v, hit = intersect_tri(
-        ray.o, ray.d, scene.tri_verts[None, :, :, :].repeat(n, axis=0), maxt
+        ray.o, ray.d, scene.tri_verts[None, :, :, :], maxt
     )
     # mask padded slots
     valid_slot = scene.bvh.prim_order >= 0

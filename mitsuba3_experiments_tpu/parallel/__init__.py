@@ -1,0 +1,5 @@
+from .mesh import (  # noqa: F401
+    make_mesh,
+    render_sharded,
+    sharded_grad_step,
+)

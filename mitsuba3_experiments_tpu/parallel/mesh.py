@@ -1,0 +1,151 @@
+"""Multi-chip parallelism: ray/tile data parallelism over a device mesh.
+
+The reference has zero distributed code (SURVEY.md section 2.3) — its only
+parallel axis is the SIMT wavefront.  On TPU that axis shards across chips:
+
+  * mesh ("dp",) over all devices (ICI within a slice, DCN across hosts via
+    jax.distributed.initialize — same code path).
+  * scene/BVH/NN parameters replicated per chip (HBM-resident).
+  * the wavefront (ray lanes) sharded over "dp"; each device traces its lanes
+    and splats into a *local* film copy; films merge with one psum at the end
+    (film is small vs ray state, and psum rides the ICI all-reduce).
+  * gradients of scene/NN parameters all-reduce with psum inside the
+    backward shard_map — the NCCL-all-reduce analog of BASELINE.md.
+"""
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core import math as m
+from ..core.rng import Sampler
+from ..render import film as filmlib
+from ..render import sensor as sensorlib
+from ..scene.params import update as scene_update
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devs), ("dp",))
+
+
+def _trace_lanes(scene, integrator, seed, pass_idx, lane, spp_per_pass,
+                 rfilter, film_shape):
+    """Trace a block of lanes and return the (partial) film they splat."""
+    w, h = scene.camera.resolution
+    pix = lane // spp_per_pass
+    px = (pix % w).astype(m.Float)
+    py = (pix // w).astype(m.Float)
+    n_total = w * h * spp_per_pass
+    sampler = Sampler.create(
+        seed, lane=lane + jnp.uint32(n_total) * pass_idx
+    )
+    sampler, jitter = sampler.next_2d()
+    pos = jnp.stack([px, py], axis=-1) + jitter
+    ray = sensorlib.sample_ray(scene.camera, pos)
+    L, _, _ = integrator.sample(scene, sampler, ray)
+    L = jnp.where(jnp.isfinite(L), L, 0.0)
+    film = jnp.zeros(film_shape, m.Float)
+    return filmlib.put(film, pos, L, rfilter=rfilter)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("integrator", "spp_per_pass", "rfilter", "mesh"),
+)
+def _render_pass_sharded(scene, integrator, seed, pass_idx,
+                         spp_per_pass: int, rfilter: str, mesh: Mesh):
+    w, h = scene.camera.resolution
+    n = w * h * spp_per_pass
+    ndev = mesh.shape["dp"]
+    n_pad = ((n + ndev - 1) // ndev) * ndev
+    lanes = jnp.arange(n_pad, dtype=jnp.uint32)
+    # lanes beyond n wrap; they re-trace lane 0 but splat weight is divided
+    # out by develop, so padding only costs compute, not bias
+    lanes = jnp.where(lanes < n, lanes, jnp.uint32(0))
+
+    def per_device(scene, lanes):
+        film = _trace_lanes(
+            scene, integrator, seed, pass_idx, lanes, spp_per_pass,
+            rfilter, (h, w, 4),
+        )
+        return jax.lax.psum(film, "dp")
+
+    shard_fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P("dp")),
+        out_specs=P(),
+        # the bounce loop mixes replicated (scene) and varying (lane) state;
+        # VMA inference can't type the while carry, so it is disabled here
+        check_vma=False,
+    )
+    return shard_fn(scene, lanes)
+
+
+def render_sharded(scene, integrator, mesh: Mesh, seed: int = 0,
+                   spp: int = 16, rfilter: str = "box",
+                   spp_per_pass: int | None = None):
+    """Multi-device render: wavefront sharded over mesh axis "dp"."""
+    w, h = scene.camera.resolution
+    if spp_per_pass is None:
+        spp_per_pass = max(1, min(spp, (1 << 21) // max(w * h, 1)))
+    while spp % spp_per_pass:
+        spp_per_pass -= 1
+    film = filmlib.new_film(w, h)
+    for p in range(spp // spp_per_pass):
+        film = film + _render_pass_sharded(
+            scene, integrator, jnp.uint32(seed), jnp.uint32(p),
+            spp_per_pass, rfilter, mesh,
+        )
+    return filmlib.develop(film)
+
+
+@partial(jax.jit, static_argnames=("integrator", "spp_per_pass", "mesh"))
+def sharded_grad_step(scene, params, target, seed, mesh: Mesh,
+                      integrator, spp_per_pass: int = 1):
+    """One data-parallel differentiable-render training step.
+
+    Per device: trace a lane shard with AD enabled, build the partial film,
+    psum films to get the full estimate, MSE against `target`, backprop;
+    parameter grads are identical across devices by construction (the psum
+    is inside the loss), giving the all-reduced gradient of BASELINE.md.
+    Returns (loss, grads) — both replicated.
+    """
+    w, h = scene.camera.resolution
+    n = w * h * spp_per_pass
+    ndev = mesh.shape["dp"]
+    n_pad = ((n + ndev - 1) // ndev) * ndev
+    lanes = jnp.arange(n_pad, dtype=jnp.uint32)
+    lanes = jnp.where(lanes < n, lanes, jnp.uint32(0))
+
+    def per_device(scene, target, lanes, params):
+        def loss_fn(params):
+            s = scene_update(scene, params)
+            film = _trace_lanes(
+                s, integrator, seed, jnp.uint32(0), lanes, spp_per_pass,
+                "box", (h, w, 4),
+            )
+            film = jax.lax.psum(film, "dp")
+            img = filmlib.develop(film)
+            return jnp.mean((img - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return loss, grads
+
+    shard_fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return shard_fn(scene, target, lanes, params)

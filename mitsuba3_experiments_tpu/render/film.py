@@ -1,0 +1,68 @@
+"""Film / ImageBlock: scatter-add sample splatting with reconstruction
+filters, and develop (weight division).
+
+Replaces mi.ImageBlock.put + film.develop (/root/reference/pssmlt.py:164-165,
+mlt.py:39,72-77).  The block is an (H, W, 4) accumulation image (RGB +
+filter weight); `put` lowers to XLA's deterministic scatter-add — the film is
+a pytree value threaded functionally, so it shards per-device and merges with
+a psum (parallel/)."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import math as m
+
+
+def new_film(width: int, height: int):
+    return jnp.zeros((height, width, 4), m.Float)
+
+
+def _accum(film, xi, yi, w, value, active):
+    h, wdt, _ = film.shape
+    inb = (xi >= 0) & (xi < wdt) & (yi >= 0) & (yi < h) & active
+    w = jnp.where(inb, w, 0.0)
+    flat = jnp.where(inb, yi * wdt + xi, 0)
+    contrib = jnp.concatenate(
+        [value * w[:, None], w[:, None]], axis=-1
+    )
+    return film.reshape(-1, 4).at[flat].add(
+        jnp.where(inb[:, None], contrib, 0.0)
+    ).reshape(film.shape)
+
+
+def put(film, pos, value, active=None, rfilter: str = "box"):
+    """Splat values at continuous film positions.
+
+    rfilter: 'box' (1 tap) or 'tent' (2x2 taps, radius-1 triangle — the
+    bedroom scene's filter, data/bedroom/scene.xml)."""
+    n = pos.shape[0]
+    if active is None:
+        active = jnp.ones((n,), bool)
+    if rfilter == "box":
+        xi = jnp.floor(pos[..., 0]).astype(jnp.int32)
+        yi = jnp.floor(pos[..., 1]).astype(jnp.int32)
+        return _accum(film, xi, yi, jnp.ones((n,), m.Float), value, active)
+    elif rfilter == "tent":
+        # sample position relative to pixel centers at (i+0.5)
+        px = pos[..., 0] - 0.5
+        py = pos[..., 1] - 0.5
+        x0 = jnp.floor(px).astype(jnp.int32)
+        y0 = jnp.floor(py).astype(jnp.int32)
+        fx = px - x0
+        fy = py - y0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                wx = jnp.where(dx == 0, 1.0 - fx, fx)
+                wy = jnp.where(dy == 0, 1.0 - fy, fy)
+                film = _accum(
+                    film, x0 + dx, y0 + dy, wx * wy, value, active
+                )
+        return film
+    else:
+        raise ValueError(f"unknown rfilter {rfilter}")
+
+
+def develop(film):
+    """RGB / accumulated filter weight (mi.Film.develop)."""
+    w = film[..., 3:4]
+    return m.safe_div(film[..., :3], jnp.maximum(w, 0.0) + (w <= 0.0))

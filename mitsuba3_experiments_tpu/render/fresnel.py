@@ -54,12 +54,15 @@ def fresnel_conductor(cos_theta_i, eta, k):
     return 0.5 * (rp + rs)
 
 
-def fresnel_diffuse_reflectance(eta):
-    """Average Fresnel reflectance for diffuse internal scattering
-    (d'Eon & Irving polynomial fit; mitsuba's fresnel_diffuse_reflectance)."""
-    e = eta
-    return jnp.where(
-        e >= 1.0,
-        -1.4399 / (e * e) + 0.7099 / e + 0.6681 + 0.0636 * e,
-        0.919317 + e * (-3.4793 + e * (6.75335 + e * (-7.80989 + e * (4.98554 - e * 1.36881)))),
-    )
+def fresnel_diffuse_reflectance(eta, n_quad: int = 32):
+    """Cosine-averaged Fresnel reflectance F_dr(eta) = int_0^1 2 c F(c; eta) dc
+    (mitsuba's fresnel_diffuse_reflectance), by fixed midpoint quadrature —
+    exact to fp32 at 32 points, self-consistent with fresnel_dielectric, and
+    differentiable wrt eta (unlike a polynomial fit)."""
+    import numpy as np
+
+    c = jnp.asarray((np.arange(n_quad) + 0.5) / n_quad, jnp.float32)
+    eta_b = jnp.asarray(eta)[..., None]
+    F = fresnel_dielectric(jnp.broadcast_to(c, eta_b.shape[:-1] + (n_quad,)),
+                           eta_b)[0]
+    return jnp.sum(2.0 * c * F, axis=-1) / n_quad

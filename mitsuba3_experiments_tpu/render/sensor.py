@@ -1,0 +1,55 @@
+"""Perspective sensor: camera ray generation + world->film projection.
+
+Replaces mi.Sensor.sample_ray_differential (/root/reference/path.py:60) and
+sample_direction reprojection (/root/reference/restirgi.py:374-378,
+reproject.py:9-21).  Mitsuba camera convention: local +Z = viewing direction,
++Y = up, +X = left; fov measured on the x axis unless fov_axis says otherwise
+(handled at scene compile, scene/build.py)."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core.records import Ray
+from ..scene.types import Camera
+
+
+def sample_ray(camera: Camera, pos_film, active=None) -> Ray:
+    """pos_film: (N, 2) continuous pixel coordinates in [0,W)x[0,H).
+
+    Returns world-space rays through those film positions."""
+    w, h = camera.resolution
+    sx = pos_film[..., 0] / w
+    sy = pos_film[..., 1] / h
+    # film x to the right => camera-local -x (Mitsuba's +X points left);
+    # film y down => camera-local -y.
+    d_cam = m.vec3(
+        (1.0 - 2.0 * sx) * camera.tan_half_fov[0],
+        (1.0 - 2.0 * sy) * camera.tan_half_fov[1],
+        jnp.ones_like(sx),
+    )
+    d_world = m.normalize(m.transform_vector(camera.to_world, d_cam))
+    o = jnp.broadcast_to(camera.to_world[:3, 3], d_world.shape)
+    return Ray.make(o, d_world)
+
+
+def sample_direction(camera: Camera, p_world):
+    """Project world points onto the film.
+
+    Returns (pos_film (N,2), dist (N,), valid (N,)) — the reprojection used
+    by ReSTIR temporal reuse and PSSMLT splatting."""
+    tw = camera.to_world
+    R = tw[:3, :3]
+    t = tw[:3, 3]
+    p_cam = (p_world - t) @ R  # R^T p  (R orthonormal)
+    z = p_cam[..., 2]
+    valid = z > 1e-6
+    x = m.safe_div(p_cam[..., 0], z)
+    y = m.safe_div(p_cam[..., 1], z)
+    w, h = camera.resolution
+    sx = 0.5 * (1.0 - x / camera.tan_half_fov[0])
+    sy = 0.5 * (1.0 - y / camera.tan_half_fov[1])
+    pos = jnp.stack([sx * w, sy * h], axis=-1)
+    valid &= (sx >= 0.0) & (sx < 1.0) & (sy >= 0.0) & (sy < 1.0)
+    dist = m.norm(p_world - t)
+    return pos, dist, valid

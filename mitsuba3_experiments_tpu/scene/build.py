@@ -352,6 +352,11 @@ def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
             if isinstance(v, dict) and v.get("type") in _BSDF_TYPES | {"ref"}:
                 bsdf_spec = v
                 break
+        if bsdf_spec is None and isinstance(sd.get("bsdf"), dict):
+            raise ValueError(
+                f"shape '{key}': unsupported BSDF type "
+                f"{sd['bsdf'].get('type')!r}"
+            )
         mat_id = mb.build(bsdf_spec)
         em_id = -1
         em = sd.get("emitter")

@@ -1,0 +1,164 @@
+"""Render-layer tests: furnace oracle, integrator consistency (the
+golden-oracle pattern of /root/reference/path.py:324-359 adapted to analytic
+references), sensor roundtrip, film filters, differentiability."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mitsuba3_experiments_tpu.core import math as m
+from mitsuba3_experiments_tpu.integrators import (
+    PathIntegrator,
+    SimpleIntegrator,
+    render,
+)
+from mitsuba3_experiments_tpu.render import film as filmlib
+from mitsuba3_experiments_tpu.render import sensor as sensorlib
+from mitsuba3_experiments_tpu.scene import cornell_box, load_dict
+from mitsuba3_experiments_tpu.scene import mesh as meshlib
+
+
+def _furnace_scene(albedo=0.6, L=1.0, res=16):
+    """Convex diffuse sphere inside an inward-emitting enclosure sphere:
+    every camera ray hitting the object must return exactly albedo * L."""
+    import numpy as np
+
+    enclosure = meshlib.sphere(radius=10.0, n_theta=16, n_phi=32)
+    # flip winding -> normals point inward -> area emitter shines inward
+    enc_faces = enclosure.faces[:, ::-1].copy()
+    obj = meshlib.sphere(radius=1.0, n_theta=16, n_phi=32)
+    return {
+        "type": "scene",
+        "sensor": {
+            "type": "perspective",
+            "fov": 20.0,
+            "to_world": m.look_at([0, 0, 5], [0, 0, 0], [0, 1, 0]),
+            "film": {"width": res, "height": res},
+        },
+        "enclosure": {
+            "type": "mesh",
+            "vertices": enclosure.vertices,
+            "faces": enc_faces,
+            "bsdf": {"type": "diffuse", "reflectance": [0.0, 0.0, 0.0]},
+            "emitter": {"type": "area", "radiance": [L, L, L]},
+        },
+        "object": {
+            # flat-shaded: shading == geometric normals, so the furnace
+            # identity holds exactly (smooth shading loses ~0.7% energy at
+            # silhouettes — the well-known shading-normal mismatch)
+            "type": "mesh",
+            "vertices": obj.vertices,
+            "faces": obj.faces,
+            "bsdf": {"type": "diffuse", "reflectance": [albedo] * 3},
+        },
+    }
+
+
+def test_furnace_diffuse():
+    albedo, L = 0.6, 2.0
+    scene, _ = load_dict(_furnace_scene(albedo, L))
+    img = np.asarray(
+        render(scene, PathIntegrator(max_depth=3, rr_depth=8), spp=256)
+    )
+    # center pixels see the sphere head-on
+    center = img[6:10, 6:10]
+    assert abs(center.mean() - albedo * L) < 0.01 * albedo * L
+    np.testing.assert_allclose(center, albedo * L, rtol=0.08)
+
+
+def test_furnace_direct_emitter_view():
+    # rays that miss the object hit the enclosure -> radiance L exactly
+    scene, _ = load_dict(_furnace_scene(0.5, 3.0, res=16))
+    img = np.asarray(render(scene, PathIntegrator(max_depth=2), spp=16))
+    corner = img[0, 0]
+    np.testing.assert_allclose(corner, 3.0, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_path_vs_simple_consistency():
+    # NEE+MIS and BSDF-only estimators must agree in expectation
+    scene, _ = load_dict(cornell_box(res=32))
+    mis = np.asarray(
+        render(scene, PathIntegrator(max_depth=4, rr_depth=9), spp=256, seed=1)
+    )
+    simple = np.asarray(
+        render(scene, SimpleIntegrator(max_depth=4, rr_depth=9), spp=4096, seed=2)
+    )
+    mask = simple.mean(-1) > 0.01
+    rel = np.abs(mis - simple)[mask] / (simple[mask] + 0.05)
+    assert rel.mean() < 0.1, f"mean rel diff {rel.mean():.3f}"
+
+
+def test_direct_light_pixel_value():
+    # a pixel looking straight at the light reads its radiance
+    scene, _ = load_dict(cornell_box(res=64))
+    img = np.asarray(render(scene, PathIntegrator(max_depth=2), spp=4))
+    # light occupies image center top; find the brightest pixel
+    lum = img.mean(-1)
+    assert abs(lum.max() - np.mean([18.387, 13.9873, 6.75357])) < 0.5
+
+
+def test_sensor_roundtrip(rng_np):
+    scene, _ = load_dict(cornell_box(res=128))
+    pos = jnp.asarray(
+        rng_np.uniform(5, 123, size=(64, 2)).astype(np.float32)
+    )
+    ray = sensorlib.sample_ray(scene.camera, pos)
+    p_world = ray.o + ray.d * 2.5
+    pos2, dist, valid = sensorlib.sample_direction(scene.camera, p_world)
+    assert bool(jnp.all(valid))
+    np.testing.assert_allclose(np.asarray(pos2), np.asarray(pos), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(dist), 2.5, rtol=1e-5)
+
+
+def test_film_filters():
+    f = filmlib.new_film(8, 8)
+    pos = jnp.array([[3.5, 3.5], [0.2, 0.2]])
+    val = jnp.array([[1.0, 2.0, 3.0], [1.0, 1.0, 1.0]])
+    fb = filmlib.put(f, pos, val, rfilter="box")
+    img = np.asarray(filmlib.develop(fb))
+    np.testing.assert_allclose(img[3, 3], [1, 2, 3], atol=1e-6)
+    # tent: sample exactly at a pixel center -> all weight on that pixel
+    ft = filmlib.put(f, jnp.array([[3.5, 3.5]]), jnp.array([[2.0, 2.0, 2.0]]),
+                     rfilter="tent")
+    imgt = np.asarray(filmlib.develop(ft))
+    np.testing.assert_allclose(imgt[3, 3], 2.0, atol=1e-5)
+    # tent: weights sum to 1 regardless of subpixel position
+    ft2 = filmlib.put(f, jnp.array([[3.17, 3.83]]), jnp.array([[1.0, 1.0, 1.0]]),
+                      rfilter="tent")
+    assert abs(float(ft2[..., 3].sum()) - 1.0) < 1e-5
+
+
+def test_differentiable_render_grads():
+    from mitsuba3_experiments_tpu.scene import traverse, update
+
+    scene, _ = load_dict(cornell_box(res=16))
+    params = {"emitters.radiance": scene.emitters.radiance}
+
+    def loss(p):
+        s = update(scene, p)
+        img = render(s, PathIntegrator(max_depth=3, differentiable=True), spp=4)
+        return jnp.mean(img)
+
+    g = jax.grad(loss)(params)["emitters.radiance"]
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g))
+    assert np.abs(g).max() > 0, "no gradient flow to emitter radiance"
+    # brightness increases with radiance -> positive gradient
+    assert g.sum() > 0
+
+
+def test_differentiable_reflectance_grads():
+    from mitsuba3_experiments_tpu.scene import update
+
+    scene, _ = load_dict(cornell_box(res=16))
+
+    def loss(bc):
+        s = update(scene, {"materials.base_color": bc})
+        img = render(s, PathIntegrator(max_depth=3, differentiable=True), spp=4)
+        return jnp.mean(img)
+
+    g = np.asarray(jax.grad(loss)(scene.materials.base_color))
+    assert np.all(np.isfinite(g))
+    # white wall albedo (row 0) must receive gradient
+    assert np.abs(g[0]).max() > 0
