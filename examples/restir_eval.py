@@ -1,0 +1,82 @@
+"""ReSTIR GI A/B evaluation harness — the analog of
+/root/reference/test-restir-spatial.py / test-restir-jacobian.py /
+test-restir-spatial-spatial.py / test-restir-dynamic.py: run N frames per
+config pair, record per-frame bias / variance / MSE against a high-spp path
+reference, write curves to JSON and frame strips to PNG.
+
+Usage: python examples/restir_eval.py [mode] [frames] [res]
+  mode in {spatial, jacobian, spatial_spatial, dynamic}
+"""
+import dataclasses
+import json
+import sys
+
+import _common  # noqa: F401
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba3_experiments_tpu.integrators import PathIntegrator, render
+from mitsuba3_experiments_tpu.integrators.restir import RestirGI
+from mitsuba3_experiments_tpu.scene import cornell_box, load_dict
+from mitsuba3_experiments_tpu.utils import write_png
+
+mode = sys.argv[1] if len(sys.argv) > 1 else "spatial"
+n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+res = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+
+CONFIG_PAIRS = {
+    # test-restir-spatial.py:27-47: bias correction on/off
+    "spatial": [
+        {"bias_correction": True, "jacobian": True},
+        {"bias_correction": False, "jacobian": True},
+    ],
+    # test-restir-jacobian.py: jacobian on/off
+    "jacobian": [
+        {"bias_correction": True, "jacobian": True},
+        {"bias_correction": True, "jacobian": False},
+    ],
+    # test-restir-spatial-spatial.py: spatial-spatial reuse on/off
+    "spatial_spatial": [
+        {"spatial_spatial_reuse": True},
+        {"spatial_spatial_reuse": False},
+    ],
+    # test-restir-dynamic.py: translating camera
+    "dynamic": [{}],
+}
+
+scene, _ = load_dict(cornell_box(res=res, spp=1))
+print("reference render (256 spp path)...")
+ref = np.asarray(render(scene, PathIntegrator(max_depth=8, rr_depth=2), spp=256))
+
+results = {}
+for ci, overrides in enumerate(CONFIG_PAIRS[mode]):
+    integ = RestirGI(max_depth=8, rr_depth=2, **overrides)
+    state = integ.init_state(scene)
+    frame_fn = jax.jit(lambda sc, st, s: integ.render_frame(sc, st, s))
+    bias, var, mse_curve = [], [], []
+    cur_scene = scene
+    for i in range(n_frames):
+        if mode == "dynamic":
+            cam = cur_scene.camera
+            cur_scene = dataclasses.replace(
+                cur_scene,
+                camera=dataclasses.replace(
+                    cam, to_world=cam.to_world.at[0, 3].add(0.005)
+                ),
+            )
+        img, state = frame_fn(cur_scene, state, jnp.uint32(i))
+        diff = np.asarray(img) - ref
+        bias.append(float(diff.mean()))
+        var.append(float(np.asarray(img).var()))
+        mse_curve.append(float((diff**2).mean()))
+        if i % 20 == 0:
+            print(f"  config {ci} frame {i}: mse={mse_curve[-1]:.4f}")
+    results[f"config{ci}_{json.dumps(overrides)}"] = {
+        "bias": bias, "variance": var, "mse": mse_curve,
+    }
+    write_png(f"out/restir_{mode}_{ci}.png", np.asarray(img))
+
+with open(f"out/restir_{mode}_metrics.json", "w") as f:
+    json.dump(results, f, indent=1)
+print(f"wrote out/restir_{mode}_metrics.json")

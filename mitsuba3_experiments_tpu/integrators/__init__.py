@@ -7,3 +7,8 @@ from .common import (  # noqa: F401
 )
 from .path import PathIntegrator  # noqa: F401
 from .simple import SimpleIntegrator  # noqa: F401
+from .restir import RestirGI  # noqa: F401
+from .pssmlt import Pssmlt  # noqa: F401
+from .bdpt import BDPTIntegrator  # noqa: F401
+from .sppm import SPPM  # noqa: F401
+from . import metropolis  # noqa: F401

@@ -1,0 +1,163 @@
+"""Neural radiance caching: path segments terminated by the area-spread
+heuristic into a cached radiance field.
+
+TPU-native re-design of /root/reference/nrc.py:25-125 — the same NEE+MIS
+segment walk with the eqn-3 spread accumulation (`spread +=
+sqrt(|p2-p1|^2 / (pdf |wi2.z|))`, nrc.py:91-93) and termination when
+`spread^2 >= c * a0` (nrc.py:71-72).  The reference never attached the cache
+network (its `sample` just truncates); here the segment *returns the
+termination vertex* so a trained radiance field (models/nerad.py Field — the
+NRC cache is the same hash-grid MLP) closes the estimate, and
+`NRCTrainer` trains the cache online from the longer unbiased tails.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core.records import BSDFFlags, SurfaceInteraction, has_flag
+from ..intersect import ray_intersect
+from ..render import bsdf as bsdflib
+from ..render.emitter import (
+    eval_emitter,
+    pdf_emitter_direction,
+    sample_emitter_direction,
+)
+from .common import mis_weight, register_integrator
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class NRCIntegrator:
+    """props mirror nrc.py:23 (max_depth 10, c = 0.01).
+
+    eq=False: instances hash by identity.  The integrator is a *static* jit
+    argument, and the optional cache weights are baked into the compiled
+    program as constants — field-based equality would let two integrators
+    with different weights collide in the jit cache.
+    """
+
+    max_depth: int = 10
+    spread_c: float = 0.01
+    # optional cache: (params, trainer) from models.nerad; None = truncate
+    cache: tuple = None
+
+    def next_segment(self, scene, sampler, si, c, a0, active):
+        """nrc.py:25-102 + termination-vertex capture."""
+        n = si.p.shape[0]
+        L = jnp.zeros((n, 3), m.Float)
+        f = jnp.ones((n, 3), m.Float)
+        eta = jnp.ones((n,), m.Float)
+        depth = jnp.ones((n,), jnp.int32)
+        spread = jnp.zeros((n,), m.Float)
+        term_si = si
+        term_f = jnp.zeros((n, 3), m.Float)
+        terminated = jnp.zeros((n,), bool)
+        mats, tex = scene.materials, scene.textures
+
+        def body(d, carry):
+            (L, f, eta, depth, spread, active, si, sampler,
+             term_si, term_f, terminated) = carry
+
+            # spread termination (nrc.py:71-72), checked at the segment
+            # vertex BEFORE any sampling: the cache models the *full*
+            # outgoing radiance at the terminal vertex, so no NEE may be
+            # added there (the reference checks mid-loop, but it never
+            # attached a cache — adding NEE at the stop vertex would double
+            # count the direct light the cache already contains).
+            stop_now = active & (spread * spread >= c * a0)
+            newly = stop_now & ~terminated
+            term_si = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    newly.reshape(newly.shape + (1,) * (a.ndim - 1)), a, b
+                ), si, term_si,
+            )
+            term_f = jnp.where(newly[:, None], f, term_f)
+            terminated |= newly
+            active &= ~stop_now
+
+            flags = bsdflib.bsdf_flags(mats, si.mat_id)
+            active_em = active & has_flag(flags, BSDFFlags.Smooth)
+            sampler, u_em = sampler.next_2d()
+            ds, em_weight = sample_emitter_direction(
+                scene, si, u_em, True, active_em
+            )
+            active_em &= ds.pdf != 0.0
+            wo = si.to_local(ds.d)
+            sampler, u1 = sampler.next_1d()
+            sampler, u2 = sampler.next_2d()
+            bsdf_val, bsdf_pdf, bs, bsdf_weight = bsdflib.eval_pdf_sample(
+                mats, tex, si, wo, u1, u2, active
+            )
+            mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
+            L = L + jnp.where(
+                active_em[:, None],
+                f * bsdf_val * em_weight * mis_em[:, None], 0.0,
+            )
+            f = f * bsdf_weight
+            eta = eta * bs.eta
+
+            ray = si.spawn_ray(si.to_world(bs.wo))
+            si2 = ray_intersect(scene, ray, active)
+            bsdf_delta = has_flag(bs.sampled_type, BSDFFlags.Delta)
+            em_pdf = pdf_emitter_direction(scene, si, si2, ~bsdf_delta)
+            mis_b = mis_weight(bs.pdf, em_pdf)
+            L = L + jnp.where(
+                (active & (bs.pdf > 0.0))[:, None],
+                f * eval_emitter(scene, si2, active) * mis_b[:, None], 0.0,
+            )
+
+            # spread accumulation, eqn 3 (nrc.py:91-93)
+            spread = spread + jnp.sqrt(
+                m.safe_div(
+                    m.squared_norm(si2.p - si.p),
+                    bs.pdf * jnp.abs(si2.wi[..., 2]),
+                )
+            )
+            si = si2
+            depth = jnp.where(active, depth + 1, depth)
+            active &= (depth < self.max_depth) & si.valid
+            return (L, f, eta, depth, spread, active, si, sampler,
+                    term_si, term_f, terminated)
+
+        carry = (L, f, eta, depth, spread, jnp.asarray(active), si, sampler,
+                 term_si, term_f, terminated)
+        carry = jax.lax.fori_loop(0, self.max_depth, body, carry)
+        (L, f, eta, depth, spread, active, si, sampler,
+         term_si, term_f, terminated) = carry
+        return L, term_si, term_f, terminated, sampler
+
+    def sample(self, scene, sampler, ray, active=None):
+        n = ray.o.shape[0]
+        if active is None:
+            active = jnp.ones((n,), bool)
+        si = ray_intersect(scene, ray, active)
+        L0 = eval_emitter(scene, si, active)
+        active = active & si.valid
+
+        # initial area spread a0 (nrc.py:121)
+        a0 = m.safe_div(
+            m.squared_norm(ray.o - si.p),
+            4.0 * m.PI * jnp.abs(si.wi[..., 2]),
+        )
+        L, term_si, term_f, terminated, sampler = self.next_segment(
+            scene, sampler, si, self.spread_c, a0, active
+        )
+        L = L + L0
+        if self.cache is not None:
+            from ..models.nerad import field_eval
+
+            params, trainer = self.cache
+            lo, extent = trainer.scene_bounds(scene)
+            p_norm = jnp.clip((term_si.p - lo) / extent, 0.0, 1.0)
+            L_cache = field_eval(
+                params, trainer.field_cfg, p_norm, term_si.wi_world
+            )
+            use = terminated & term_si.valid & (term_si.emitter_id < 0)
+            L = L + jnp.where(use[:, None], term_f * L_cache, 0.0)
+        return L, si.valid, sampler
+
+
+register_integrator("nrc", NRCIntegrator)

@@ -36,13 +36,12 @@ def _slab_test(o, inv_d, lo, hi, t_best):
     return hit, t_near
 
 
-@partial(jax.jit, static_argnames=("n_leaves", "leaf_size", "any_hit"))
-def _traverse(bvh_lo, bvh_hi, tri_verts, n_leaves, leaf_size, o, d, maxt,
-              active, any_hit: bool = False):
-    """Core traversal.  Returns (t, prim_slot, u, v)."""
+@partial(jax.jit, static_argnames=("max_leaf", "any_hit"))
+def _traverse(bvh_lo, bvh_hi, left, right, first, count, tri_verts,
+              max_leaf, o, d, maxt, active, any_hit: bool = False):
+    """Core traversal over the pointer BVH.  Returns (t, prim_slot, u, v)."""
     n = o.shape[0]
     inv_d = m.safe_div(jnp.ones((), m.Float), d, fill=jnp.inf)
-    first_leaf = jnp.int32(n_leaves - 1)
 
     t_best = jnp.where(active, maxt, 0.0)  # inactive lanes terminate instantly
     slot_best = jnp.full((n,), -1, jnp.int32)
@@ -50,7 +49,6 @@ def _traverse(bvh_lo, bvh_hi, tri_verts, n_leaves, leaf_size, o, d, maxt,
     v_best = jnp.zeros((n,), m.Float)
 
     node = jnp.where(active, jnp.zeros((n,), jnp.int32), DONE)
-    # single-node tree (n_leaves == 1): root is already a leaf
     stack = jnp.zeros((n, STACK_DEPTH), jnp.int32)
     sp = jnp.zeros((n,), jnp.int32)
 
@@ -63,12 +61,12 @@ def _traverse(bvh_lo, bvh_hi, tri_verts, n_leaves, leaf_size, o, d, maxt,
         live = node != DONE
         node_s = jnp.maximum(node, 0)
 
-        is_leaf = live & (node_s >= first_leaf)
+        c0 = jnp.take(left, node_s)
+        c1 = jnp.take(right, node_s)
+        is_leaf = live & (c0 < 0)
         is_int = live & ~is_leaf
 
         # ---------------- internal: test both child boxes ----------------
-        c0 = 2 * node_s + 1
-        c1 = 2 * node_s + 2
         c0s = jnp.where(is_int, c0, 0)
         c1s = jnp.where(is_int, c1, 0)
         lo0 = jnp.take(bvh_lo, c0s, axis=0)
@@ -90,12 +88,13 @@ def _traverse(bvh_lo, bvh_hi, tri_verts, n_leaves, leaf_size, o, d, maxt,
         push = hit_near & hit_far
 
         # ------------------- leaf: triangle packet test -------------------
-        leaf_idx = node_s - first_leaf
-        base = jnp.where(is_leaf, leaf_idx * leaf_size, 0)
-        slots = base[:, None] + jnp.arange(leaf_size, dtype=jnp.int32)[None, :]
+        base = jnp.where(is_leaf, jnp.take(first, node_s), 0)
+        k = jnp.arange(max_leaf, dtype=jnp.int32)[None, :]
+        slots = base[:, None] + k
+        in_leaf = k < jnp.take(count, node_s)[:, None]
         tris = jnp.take(tri_verts, slots, axis=0)  # (N, K, 3, 3)
         t, uu, vv, hit = intersect_tri(o, d, tris, t_best)
-        t = jnp.where(is_leaf[:, None] & hit, t, jnp.inf)
+        t = jnp.where(is_leaf[:, None] & in_leaf & hit, t, jnp.inf)
         k_best = jnp.argmin(t, axis=-1)
         t_new = jnp.take_along_axis(t, k_best[:, None], axis=-1)[:, 0]
         improved = t_new < t_best
@@ -163,9 +162,10 @@ def ray_intersect(scene: Scene, ray: Ray, active=None) -> SurfaceInteraction:
         active = jnp.ones((n,), bool)
     if scene.tri_verts.shape[0] <= BRUTE_FORCE_MAX_SLOTS:
         return ray_intersect_brute(scene, ray, active)
+    b = scene.bvh
     t, slot, u, v = _traverse(
-        scene.bvh.bounds_lo, scene.bvh.bounds_hi, scene.tri_verts,
-        scene.bvh.n_leaves, scene.bvh.leaf_size,
+        b.bounds_lo, b.bounds_hi, b.left, b.right, b.first, b.count,
+        scene.tri_verts, b.max_leaf,
         ray.o, ray.d, ray.maxt, active, False,
     )
     return _make_si(scene, ray, t, slot, u, v)
@@ -179,9 +179,10 @@ def ray_test(scene: Scene, ray: Ray, active=None):
     if scene.tri_verts.shape[0] <= BRUTE_FORCE_MAX_SLOTS:
         si = ray_intersect_brute(scene, ray, active)
         return si.prim_idx >= 0
+    b = scene.bvh
     t, slot, _, _ = _traverse(
-        scene.bvh.bounds_lo, scene.bvh.bounds_hi, scene.tri_verts,
-        scene.bvh.n_leaves, scene.bvh.leaf_size,
+        b.bounds_lo, b.bounds_hi, b.left, b.right, b.first, b.count,
+        scene.tri_verts, b.max_leaf,
         ray.o, ray.d, ray.maxt, active, True,
     )
     return slot >= 0
@@ -198,8 +199,10 @@ def ray_intersect_brute(scene: Scene, ray: Ray, active=None) -> SurfaceInteracti
     t, u, v, hit = intersect_tri(
         ray.o, ray.d, scene.tri_verts[None, :, :, :], maxt
     )
-    # mask padded slots
-    valid_slot = scene.bvh.prim_order >= 0
+    # mask tail padding slots (tri_verts is padded past len(prim_order))
+    valid_slot = (
+        jnp.arange(P, dtype=jnp.int32) < scene.bvh.prim_order.shape[0]
+    )
     t = jnp.where(valid_slot[None, :], t, jnp.inf)
     k = jnp.argmin(t, axis=-1)
     tb = jnp.take_along_axis(t, k[:, None], -1)[:, 0]

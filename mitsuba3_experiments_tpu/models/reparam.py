@@ -1,0 +1,89 @@
+"""Reparameterized importance sampling: learn a sampling map T(z) whose
+density is shaped by |det J_T|.
+
+TPU-native re-design of /root/reference/reparam.ipynb: the reference had to
+hand-roll an entire manual-backprop `JacobianNet` (per-layer stored inputs,
+custom grad_ rules for Linear/ReLU/Exp/TaLU/Resize, unit-gradient backprops
+to assemble J — cells 6-10) because Dr.Jit lacks second-order AD.  JAX has
+real forward-mode: `jax.jacfwd` gives J in one line and composes with
+reverse-mode for the NLL gradient, so the whole apparatus collapses to ~60
+lines.  The custom-vs-AD gradient check (cell 10) becomes a jacfwd-vs-finite
+-difference test.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .mlp import apply_mlp, identity_init_mlp
+
+
+def talu(x):
+    """The reference's TaLU activation (cell 6): tanh for x<0, linear above —
+    smooth, invertible-friendly."""
+    return jnp.where(x < 0, jnp.tanh(x), x)
+
+
+@dataclasses.dataclass(frozen=True)
+class ReparamConfig:
+    dim: int = 2
+    hidden: int = 32
+    depth: int = 3
+
+
+def init_map(key, cfg: ReparamConfig):
+    sizes = [cfg.dim] + [cfg.hidden] * (cfg.depth - 1) + [cfg.dim]
+    return identity_init_mlp(key, sizes)
+
+
+def apply_map(params, z):
+    """T(z): the learned sampling map (fp32 — second-order work wants full
+    precision)."""
+    h = z
+    for i, layer in enumerate(params):
+        h = h @ layer["w"] + layer["b"]
+        if i < len(params) - 1:
+            h = talu(h)
+    return h
+
+
+def det_jacobian(params, z):
+    """|det J_T(z)| per sample via forward-mode (vmapped jacfwd)."""
+    J = jax.vmap(jax.jacfwd(lambda zz: apply_map(params, zz)))(z)
+    return jnp.abs(jnp.linalg.det(J))
+
+
+def nll_loss(params, z, log_p_ref, defensive=0.05):
+    """-log( p_ref(T(z)) |det J| ) with a defensive mixture (cell 21)."""
+    x = apply_map(params, z)
+    detJ = det_jacobian(params, z)
+    p = jnp.exp(log_p_ref(x)) * detJ
+    p = (1.0 - defensive) * p + defensive
+    return -jnp.mean(jnp.log(jnp.maximum(p, 1e-12)))
+
+
+def train_reparam(log_p_ref, cfg: ReparamConfig = ReparamConfig(),
+                  n_iters=1000, batch=1 << 12, lr=1e-3, seed=0):
+    key = jax.random.PRNGKey(seed)
+    key, k = jax.random.split(key)
+    params = init_map(k, cfg)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        z = jax.random.uniform(key, (batch, cfg.dim))
+        loss, grads = jax.value_and_grad(nll_loss)(params, z, log_p_ref)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(n_iters):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k)
+        if (i + 1) % 100 == 0:
+            losses.append(float(loss))
+    return params, losses

@@ -95,6 +95,42 @@ def sample_emitter_direction(scene: Scene, si_ref, u2, test_visibility=True,
     return ds, weight
 
 
+def sample_emitter_ray(scene: Scene, u_pos2, u_dir2, active=None):
+    """Sample a ray leaving an emitter (scene.sample_emitter_ray,
+    /root/reference/bdpt02.py:86-88): power-weighted face pick, uniform
+    position, cosine-weighted direction about the face normal.
+
+    Returns (ray, weight, emitter_id) with
+    weight = Le * pi / p_area  (the cosine direction pdf cancels cos theta).
+    """
+    em = scene.emitters
+    slot, u_re = em.face_dist.sample_reuse(u_pos2[..., 0])
+    face = jnp.take(em.em_face, slot)
+    fidx = jnp.take(scene.geometry.faces, face, axis=0)
+    v0 = jnp.take(scene.geometry.vertices, fidx[:, 0], axis=0)
+    v1 = jnp.take(scene.geometry.vertices, fidx[:, 1], axis=0)
+    v2 = jnp.take(scene.geometry.vertices, fidx[:, 2], axis=0)
+    b = warp.square_to_uniform_triangle(
+        jnp.stack([u_re, u_pos2[..., 1]], axis=-1)
+    )
+    p = v0 + (v1 - v0) * b[..., 0:1] + (v2 - v0) * b[..., 1:2]
+    ng = m.normalize(m.cross(v1 - v0, v2 - v0))
+
+    d_local = warp.square_to_cosine_hemisphere(u_dir2)
+    s, t = m.coordinate_system(ng)
+    d = m.to_world(s, t, ng, d_local)
+
+    area = jnp.take(em.em_face_area, slot)
+    pmf = em.face_dist.prob(slot)
+    p_area = m.safe_div(pmf, area)
+    rad = jnp.take(em.radiance, jnp.take(em.em_face_emitter, slot), axis=0)
+    weight = rad * (m.PI * m.safe_rcp(p_area))[:, None]
+
+    o = p + ng * m.RAY_EPS
+    ray = Ray.make(o, d)
+    return ray, weight, jnp.take(em.em_face_emitter, slot)
+
+
 def pdf_emitter_direction(scene: Scene, si_ref, si_hit, active=None):
     """Solid-angle pdf that NEE from si_ref would have sampled the emissive
     face hit at si_hit (for MIS of BSDF-sampled rays, path.py:288)."""

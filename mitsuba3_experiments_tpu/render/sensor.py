@@ -33,6 +33,27 @@ def sample_ray(camera: Camera, pos_film, active=None) -> Ray:
     return Ray.make(o, d_world)
 
 
+def perspective_projection(camera: Camera, near: float = 0.01,
+                           far: float = 1000.0):
+    """World -> clip-space 4x4 matrix (mi.perspective_projection analog,
+    /root/reference/reproject.py:9-21): maps world points to NDC where
+    x,y in [0,1] cover the film."""
+    tx, ty = camera.tan_half_fov[0], camera.tan_half_fov[1]
+    # camera space -> NDC: x_ndc = 0.5 (1 - x/(z tx)), same for y
+    proj = jnp.array(
+        [
+            [-0.5, 0.0, 0.5, 0.0],
+            [0.0, -0.5, 0.5, 0.0],
+            [0.0, 0.0, far / (far - near), -near * far / (far - near)],
+            [0.0, 0.0, 1.0, 0.0],
+        ],
+        m.Float,
+    )
+    scale = jnp.diag(jnp.array([1.0 / tx, 1.0 / ty, 1.0, 1.0], m.Float))
+    world_to_cam = jnp.linalg.inv(camera.to_world)
+    return proj @ scale @ world_to_cam
+
+
 def sample_direction(camera: Camera, p_world):
     """Project world points onto the film.
 

@@ -253,7 +253,7 @@ def _first_nested_bsdf(d):
 def _build_shape_mesh(d) -> meshlib.HostMesh:
     t = d["type"]
     if t == "rectangle":
-        m = meshlib.rectangle()
+        m = meshlib.rectangle(subdiv=int(d.get("subdiv", 1)))
     elif t == "cube":
         m = meshlib.cube()
     elif t == "sphere":
@@ -412,11 +412,13 @@ def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
     emitters = _build_emitter_table(V, F, face_em, emitters_rad)
     bvh = build_bvh(V, F)
 
-    # pre-gathered triangles in BVH prim order, degenerate pad for -1
+    # pre-gathered triangles in BVH prim order; tail-padded with degenerate
+    # tris so leaf packet reads (first + max_leaf) never index out of range
     po = np.asarray(bvh.prim_order)
-    safe = np.where(po >= 0, po, 0)
-    tv = V[F[safe]]  # (P, 3, 3)
-    tv[po < 0] = 0.0
+    tv = V[F[po]]  # (F, 3, 3)
+    tv = np.concatenate(
+        [tv, np.zeros((bvh.max_leaf, 3, 3), np.float32)], axis=0
+    )
     scene = Scene(
         geometry=geometry,
         materials=materials,

@@ -1,13 +1,17 @@
-"""BVH construction: Morton-ordered implicit balanced binary tree.
+"""BVH construction: vectorized top-down binned SAH (host side, numpy).
 
 TPU-native replacement for the OptiX/Embree acceleration structures the
 reference relies on (scene.ray_intersect at /root/reference/path.py:238).
-Design rationale (SURVEY.md hard part #1): traversal cost on TPU is dominated
-by gathers, so the tree is laid out *implicitly* — leaves are fixed-size
-chunks of the Morton-sorted primitive array, internal node i has children
-2i+1/2i+2 — which removes child-pointer gathers entirely and makes the build
-a chain of vectorized reshapes + min/max reductions (no recursion, no host
-loop over primitives; build time is O(F log F) numpy sort + O(F) reduces).
+
+The first iteration of this module used an implicit Morton-ordered balanced
+tree (pointer-free).  Measurement on the bedroom-class scene showed rays
+visiting ~25% of all nodes — Morton pairing across overlapping shapes plus
+room-sized wall triangles produce huge node bounds, and gather cost on TPU
+turned out negligible (see scripts/gather_bench.py), so pointer chasing is
+free.  This builder is a classic binned SAH (16 bins, surface-area heuristic
+with leaf cost) vectorized *per BFS level*: every node at a level is binned,
+swept and partitioned with bincount/segment reductions — no Python recursion
+over nodes, O(F log F) total.
 """
 from __future__ import annotations
 
@@ -15,83 +19,223 @@ import numpy as np
 
 from .types import BVH
 
-
-def _expand_bits(v):
-    """Spread the lower 10 bits of v over 30 bits (every 3rd position)."""
-    v = (v * np.uint64(0x00010001)) & np.uint64(0xFF0000FF)
-    v = (v * np.uint64(0x00000101)) & np.uint64(0x0F00F00F)
-    v = (v * np.uint64(0x00000011)) & np.uint64(0xC30C30C3)
-    v = (v * np.uint64(0x00000005)) & np.uint64(0x49249249)
-    return v
+N_BINS = 16
+MAX_DEPTH = 40
 
 
-def morton3(p01):
-    """p01: (N, 3) in [0,1] -> 30-bit Morton codes (N,) uint64."""
-    q = np.clip(p01 * 1024.0, 0, 1023).astype(np.uint64)
-    return (
-        (_expand_bits(q[:, 0]) << np.uint64(2))
-        | (_expand_bits(q[:, 1]) << np.uint64(1))
-        | _expand_bits(q[:, 2])
-    )
+def _aabb_area(lo, hi):
+    d = np.maximum(hi - lo, 0.0)
+    return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0])
 
 
 def build_bvh(vertices: np.ndarray, faces: np.ndarray, leaf_size: int = 4) -> BVH:
-    """Build the implicit BVH (numpy, host side).
-
-    vertices: (V, 3) f32; faces: (F, 3) i32.  Returns a BVH with
-    2*n_leaves-1 nodes where n_leaves = next_pow2(ceil(F / leaf_size)).
-    """
+    """Binned-SAH BVH; returns pointer-based flat arrays (see types.BVH)."""
     import jax.numpy as jnp
 
     v = np.asarray(vertices, np.float32)
     f = np.asarray(faces, np.int64)
     F = f.shape[0]
-    tri = v[f]                                  # (F, 3, 3)
-    lo = tri.min(axis=1)                        # (F, 3)
-    hi = tri.max(axis=1)
-    centroid = 0.5 * (lo + hi)
+    tri = v[f]
+    prim_lo = tri.min(axis=1).astype(np.float64)
+    prim_hi = tri.max(axis=1).astype(np.float64)
+    cent = 0.5 * (prim_lo + prim_hi)
 
-    scene_lo = lo.min(axis=0)
-    scene_hi = hi.max(axis=0)
-    extent = np.maximum(scene_hi - scene_lo, 1e-9)
-    codes = morton3((centroid - scene_lo) / extent)
-    order = np.argsort(codes, kind="stable").astype(np.int32)
+    # prim order array; nodes own contiguous ranges [start, end)
+    order = np.arange(F, dtype=np.int64)
 
-    n_leaves_needed = -(-F // leaf_size)
-    n_leaves = 1 << max(0, int(np.ceil(np.log2(max(n_leaves_needed, 1)))))
-    n_prims_padded = n_leaves * leaf_size
+    # node storage (grown in chunks)
+    cap = max(4 * F // leaf_size, 16)
+    n_lo = np.zeros((cap, 3), np.float64)
+    n_hi = np.zeros((cap, 3), np.float64)
+    n_left = np.full(cap, -1, np.int64)
+    n_right = np.full(cap, -1, np.int64)
+    n_first = np.zeros(cap, np.int64)
+    n_count = np.zeros(cap, np.int64)
+    n_nodes = 1
+    n_first[0], n_count[0] = 0, F
 
-    prim_order = np.full(n_prims_padded, -1, np.int32)
-    prim_order[:F] = order
+    def grow(need):
+        nonlocal cap, n_lo, n_hi, n_left, n_right, n_first, n_count
+        if need <= cap:
+            return
+        cap = max(need, 2 * cap)
+        for name in ("n_lo", "n_hi", "n_left", "n_right", "n_first", "n_count"):
+            pass  # handled below
+        n_lo = np.resize(n_lo, (cap, 3))
+        n_hi = np.resize(n_hi, (cap, 3))
+        n_left = np.resize(n_left, cap)
+        n_right = np.resize(n_right, cap)
+        n_first = np.resize(n_first, cap)
+        n_count = np.resize(n_count, cap)
 
-    # Leaf bounds: segment min/max over ordered prims; padded slots inverted.
-    big = np.float32(np.finfo(np.float32).max)
-    plo = np.full((n_prims_padded, 3), big, np.float32)
-    phi = np.full((n_prims_padded, 3), -big, np.float32)
-    plo[:F] = lo[order]
-    phi[:F] = hi[order]
-    leaf_lo = plo.reshape(n_leaves, leaf_size, 3).min(axis=1)
-    leaf_hi = phi.reshape(n_leaves, leaf_size, 3).max(axis=1)
+    active = np.array([0], np.int64)  # node ids to process this level
+    for depth in range(MAX_DEPTH):
+        if len(active) == 0:
+            break
+        K = len(active)
+        starts = n_first[active]
+        counts = n_count[active]
+        # per-prim local node id (0..K-1) for prims in active nodes;
+        # gather indices built vectorized: arange within each range
+        P = int(counts.sum())
+        seg_node = np.repeat(np.arange(K), counts)
+        excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        seg_pos = (
+            np.arange(P, dtype=np.int64) - excl[seg_node] + starts[seg_node]
+        )
+        seg_prims = order[seg_pos]
 
-    # Internal levels bottom-up: level k has n_leaves >> k nodes.
-    n_nodes = 2 * n_leaves - 1
-    bounds_lo = np.empty((n_nodes, 3), np.float32)
-    bounds_hi = np.empty((n_nodes, 3), np.float32)
-    bounds_lo[n_leaves - 1 :] = leaf_lo
-    bounds_hi[n_leaves - 1 :] = leaf_hi
-    cur_lo, cur_hi = leaf_lo, leaf_hi
-    first = n_leaves - 1
-    while cur_lo.shape[0] > 1:
-        cur_lo = cur_lo.reshape(-1, 2, 3).min(axis=1)
-        cur_hi = cur_hi.reshape(-1, 2, 3).max(axis=1)
-        first = first // 2
-        bounds_lo[first : first + cur_lo.shape[0]] = cur_lo
-        bounds_hi[first : first + cur_hi.shape[0]] = cur_hi
+        c = cent[seg_prims]                      # (P, 3)
+        plo = prim_lo[seg_prims]
+        phi = prim_hi[seg_prims]
+
+        # node geometric + centroid bounds via segment min/max
+        def seg_min(x):
+            out = np.full((K, x.shape[1]), np.inf)
+            np.minimum.at(out, seg_node, x)
+            return out
+
+        def seg_max(x):
+            out = np.full((K, x.shape[1]), -np.inf)
+            np.maximum.at(out, seg_node, x)
+            return out
+
+        g_lo = seg_min(plo)
+        g_hi = seg_max(phi)
+        c_lo = seg_min(c)
+        c_hi = seg_max(c)
+        n_lo[active] = g_lo
+        n_hi[active] = g_hi
+
+        ext = np.maximum(c_hi - c_lo, 1e-12)
+        # bin index per prim per axis
+        rel = np.clip((c - c_lo[seg_node]) / ext[seg_node], 0.0, 1.0 - 1e-7)
+        bins = (rel * N_BINS).astype(np.int64)    # (P, 3)
+
+        # per (node, axis, bin): count + bounds
+        key = (seg_node[:, None] * 3 + np.arange(3)[None, :]) * N_BINS + bins
+        key_flat = key.reshape(-1)                # (P*3,)
+        cnt = np.bincount(key_flat, minlength=K * 3 * N_BINS).reshape(K, 3, N_BINS)
+        b_lo = np.full((K * 3 * N_BINS, 3), np.inf)
+        b_hi = np.full((K * 3 * N_BINS, 3), -np.inf)
+        plo3 = np.repeat(plo, 3, axis=0)
+        phi3 = np.repeat(phi, 3, axis=0)
+        np.minimum.at(b_lo, key_flat, plo3)
+        np.maximum.at(b_hi, key_flat, phi3)
+        b_lo = b_lo.reshape(K, 3, N_BINS, 3)
+        b_hi = b_hi.reshape(K, 3, N_BINS, 3)
+
+        # SAH sweep: prefix (left) and suffix (right) accumulations over bins
+        l_lo = np.minimum.accumulate(b_lo, axis=2)
+        l_hi = np.maximum.accumulate(b_hi, axis=2)
+        r_lo = np.minimum.accumulate(b_lo[:, :, ::-1], axis=2)[:, :, ::-1]
+        r_hi = np.maximum.accumulate(b_hi[:, :, ::-1], axis=2)[:, :, ::-1]
+        l_cnt = np.cumsum(cnt, axis=2)
+        r_cnt = counts[:, None, None] - l_cnt
+
+        # split after bin b (b in 0..N_BINS-2)
+        al = _aabb_area(l_lo[:, :, :-1], l_hi[:, :, :-1])
+        ar = _aabb_area(r_lo[:, :, 1:], r_hi[:, :, 1:])
+        nl = l_cnt[:, :, :-1]
+        nr = r_cnt[:, :, :-1]
+        cost = al * nl + ar * nr
+        cost = np.where((nl == 0) | (nr == 0), np.inf, cost)
+        flat_best = np.argmin(cost.reshape(K, -1), axis=1)
+        best_axis = flat_best // (N_BINS - 1)
+        best_bin = flat_best % (N_BINS - 1)
+        best_cost = cost.reshape(K, -1)[np.arange(K), flat_best]
+
+        # leaf decision: SAH no-split cost = area * count (traversal const 1)
+        parent_area = _aabb_area(g_lo, g_hi)
+        make_leaf = (counts <= leaf_size) | ~np.isfinite(best_cost)
+        if depth == MAX_DEPTH - 1:
+            make_leaf[:] = True
+
+        # mark leaves
+        leaf_ids = active[make_leaf]
+        n_left[leaf_ids] = -1
+        n_count[leaf_ids] = counts[make_leaf]   # already set, keep
+
+        split_mask = ~make_leaf
+        if not split_mask.any():
+            active = np.array([], np.int64)
+            continue
+
+        # partition prims of split nodes: stable sort by (node, goes_right)
+        node_is_split = split_mask[seg_node]
+        axis_of = best_axis[seg_node]
+        bin_of_axis = bins[np.arange(P), axis_of]
+        goes_right = bin_of_axis > best_bin[seg_node]
+
+        # new child node ids
+        split_ids = active[split_mask]
+        n_split = len(split_ids)
+        grow(n_nodes + 2 * n_split)
+        child_base = n_nodes + 2 * np.arange(n_split)
+        left_ids = child_base
+        right_ids = child_base + 1
+        n_left[split_ids] = left_ids
+        n_right[split_ids] = right_ids
+        n_count[split_ids] = 0
+        n_nodes += 2 * n_split
+
+        # reorder prims within each split node's range
+        local_split_idx = np.full(K, -1, np.int64)
+        local_split_idx[split_mask] = np.arange(n_split)
+        sort_key = seg_node * 2 + goes_right
+        perm = np.argsort(sort_key[node_is_split], kind="stable")
+        seg_sel = np.nonzero(node_is_split)[0]
+        reordered = seg_prims[seg_sel[perm]]
+
+        # write back into `order` and set child ranges (vectorized)
+        right_counts = np.bincount(
+            seg_node[node_is_split][goes_right[node_is_split]], minlength=K
+        )[split_mask]
+        split_starts = starts[split_mask]
+        split_counts = counts[split_mask]
+        sp_node = np.repeat(np.arange(n_split), split_counts)
+        sp_excl = np.concatenate([[0], np.cumsum(split_counts)[:-1]])
+        tgt = (
+            np.arange(len(reordered), dtype=np.int64)
+            - sp_excl[sp_node]
+            + split_starts[sp_node]
+        )
+        order[tgt] = reordered
+
+        lc = split_counts - right_counts
+        n_first[left_ids] = split_starts
+        n_count[left_ids] = lc
+        n_first[right_ids] = split_starts + lc
+        n_count[right_ids] = right_counts
+        new_active = np.empty(2 * n_split, np.int64)
+        new_active[0::2] = left_ids
+        new_active[1::2] = right_ids
+        active = new_active
+
+    # fill bounds for any child nodes created at the last level
+    # (they were assigned ranges but never visited): compute directly
+    pending = np.nonzero(
+        (n_lo[:n_nodes] == 0).all(axis=1) & (n_hi[:n_nodes] == 0).all(axis=1)
+    )[0]
+    for nid in pending:
+        if nid == 0 and F > 0:
+            continue
+        s, ccount = n_first[nid], max(n_count[nid], 0)
+        if ccount > 0 and n_left[nid] == -1:
+            pl = prim_lo[order[s : s + ccount]]
+            ph = prim_hi[order[s : s + ccount]]
+            n_lo[nid] = pl.min(axis=0)
+            n_hi[nid] = ph.max(axis=0)
+
+    max_leaf = int(n_count[:n_nodes][n_left[:n_nodes] == -1].max()) if F else 1
 
     return BVH(
-        bounds_lo=jnp.asarray(bounds_lo),
-        bounds_hi=jnp.asarray(bounds_hi),
-        prim_order=jnp.asarray(prim_order),
-        n_leaves=int(n_leaves),
-        leaf_size=int(leaf_size),
+        bounds_lo=jnp.asarray(n_lo[:n_nodes].astype(np.float32)),
+        bounds_hi=jnp.asarray(n_hi[:n_nodes].astype(np.float32)),
+        left=jnp.asarray(n_left[:n_nodes].astype(np.int32)),
+        right=jnp.asarray(n_right[:n_nodes].astype(np.int32)),
+        first=jnp.asarray(n_first[:n_nodes].astype(np.int32)),
+        count=jnp.asarray(n_count[:n_nodes].astype(np.int32)),
+        prim_order=jnp.asarray(order.astype(np.int32)),
+        max_leaf=max(max_leaf, 1),
     )

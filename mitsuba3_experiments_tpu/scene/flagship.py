@@ -23,8 +23,12 @@ from .obj import is_lfs_pointer
 
 REFERENCE_BEDROOM = "/root/reference/data/bedroom/scene.xml"
 
-_ROOM_LO = np.array([-2.5, 0.0, -2.5], np.float32)
-_ROOM_HI = np.array([2.5, 2.6, 2.5], np.float32)
+# shell bounds must enclose the real camera at (3.456, 1.212, 3.299)
+# (data/bedroom/scene.xml to_world); blobs stay in the inner furniture box
+_ROOM_LO = np.array([-3.6, -0.05, -3.6], np.float32)
+_ROOM_HI = np.array([4.6, 3.0, 4.6], np.float32)
+_BLOB_LO = np.array([-2.5, 0.0, -2.5], np.float32)
+_BLOB_HI = np.array([2.3, 2.4, 2.3], np.float32)
 
 
 def _hash01(seed: int, n: int) -> np.ndarray:
@@ -63,8 +67,8 @@ def placeholder_mesh(seed: int, n_tris: int) -> HostMesh:
     v = v * (1.0 + disp[:, None] * 0.5)
     # anisotropic scale + placement in the room
     scale = 0.12 + 0.45 * rng.random(3).astype(np.float32)
-    pos = _ROOM_LO + (0.1 + 0.8 * rng.random(3).astype(np.float32)) * (
-        _ROOM_HI - _ROOM_LO
+    pos = _BLOB_LO + (0.1 + 0.8 * rng.random(3).astype(np.float32)) * (
+        _BLOB_HI - _BLOB_LO
     )
     v = v * scale + pos
     return HostMesh(
@@ -138,6 +142,8 @@ def bedroom_dict(res=(1280, 720), spp: int = 64,
         d[f"_shell_{name}"] = {
             "type": "rectangle",
             "to_world": tw,
+            # subdivide: room-sized triangles would blow up BVH node bounds
+            "subdiv": 16,
             "bsdf": {"type": "diffuse", "reflectance": [0.65, 0.6, 0.55]},
         }
     return d

@@ -60,15 +60,30 @@ def smooth_vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray
     return (vn / np.maximum(ln, 1e-20)).astype(np.float32)
 
 
-def rectangle() -> HostMesh:
-    """Mitsuba `rectangle`: [-1,1]^2 in the XY plane, z=0, normal +Z."""
-    v = np.array(
-        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32
+def rectangle(subdiv: int = 1) -> HostMesh:
+    """Mitsuba `rectangle`: [-1,1]^2 in the XY plane, z=0, normal +Z.
+
+    subdiv > 1 grid-subdivides the quad (subdiv^2 cells) — used for huge
+    wall/floor rectangles so no single triangle dominates the BVH's bounds.
+    """
+    s = subdiv
+    xs = np.linspace(-1, 1, s + 1, dtype=np.float32)
+    X, Y = np.meshgrid(xs, xs, indexing="xy")
+    v = np.stack([X, Y, np.zeros_like(X)], axis=-1).reshape(-1, 3)
+    uv = np.stack([(X + 1) / 2, (Y + 1) / 2], axis=-1).reshape(-1, 2)
+    f = []
+    for j in range(s):
+        for i in range(s):
+            a = j * (s + 1) + i
+            b = a + 1
+            c = a + s + 2
+            d = a + s + 1
+            f += [[a, b, c], [a, c, d]]
+    n = np.tile(np.array([[0, 0, 1]], np.float32), (len(v), 1))
+    return HostMesh(
+        v.astype(np.float32), np.asarray(f, np.int32), n,
+        uv.astype(np.float32), flat=True,
     )
-    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
-    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
-    n = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
-    return HostMesh(v, f, n, uv, flat=True)
 
 
 def cube() -> HostMesh:

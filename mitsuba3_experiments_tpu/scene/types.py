@@ -115,21 +115,23 @@ class Camera:
 
 @jstruct
 class BVH:
-    """Implicit balanced binary BVH over Morton-ordered triangles.
+    """Pointer-based binned-SAH BVH (scene/bvh.py).
 
-    `n_leaves` is a power of two; leaves hold `leaf_size` consecutive entries
-    of `prim_order` (padded with -1).  Node i's children are 2i+1 / 2i+2;
-    nodes with index >= n_leaves-1 are leaves.  Empty leaves carry inverted
-    bounds so the slab test always misses.  No pointers => the whole build is
-    vectorized segment-reduces (scene/bvh.py) and traversal needs no
-    child-index gathers, only bounds gathers.
+    Node i: internal when left[i] >= 0 (children left[i]/right[i]); leaf when
+    left[i] == -1, owning prim_order[first[i] : first[i]+count[i]].  Gathers
+    of child indices are cheap on TPU (measured, scripts/gather_bench.py), so
+    tree quality is bought with pointers rather than an implicit layout.
+    `max_leaf` bounds every leaf's count (static: sizes the packet test).
     """
 
-    bounds_lo: jnp.ndarray  # (2*n_leaves-1, 3) f32
-    bounds_hi: jnp.ndarray  # (2*n_leaves-1, 3) f32
-    prim_order: jnp.ndarray  # (n_leaves * leaf_size,) i32, -1 padded
-    n_leaves: int = static_field(default=1)
-    leaf_size: int = static_field(default=4)
+    bounds_lo: jnp.ndarray   # (NN, 3) f32
+    bounds_hi: jnp.ndarray   # (NN, 3) f32
+    left: jnp.ndarray        # (NN,) i32, -1 for leaves
+    right: jnp.ndarray       # (NN,) i32
+    first: jnp.ndarray       # (NN,) i32 offset into prim_order
+    count: jnp.ndarray       # (NN,) i32 leaf prim count (0 for internal)
+    prim_order: jnp.ndarray  # (F,) i32 permutation of triangle ids
+    max_leaf: int = static_field(default=4)
 
 
 @jstruct

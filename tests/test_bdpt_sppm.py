@@ -1,0 +1,80 @@
+"""BDPT and SPPM integrator tests + hash-grid unit tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mitsuba3_experiments_tpu.integrators import (
+    BDPTIntegrator,
+    PathIntegrator,
+    SPPM,
+    render,
+)
+from mitsuba3_experiments_tpu.ops.hashgrid import HashGrid
+from mitsuba3_experiments_tpu.scene import cornell_box, load_dict
+
+
+def test_hashgrid_buckets_points(rng_np):
+    pts = jnp.asarray(rng_np.uniform(0, 1, size=(500, 3)).astype(np.float32))
+    grid = HashGrid.build(pts, cell_size=0.25, n_cells=256)
+    # every point appears exactly once in order
+    assert sorted(np.asarray(grid.order).tolist()) == list(range(500))
+    # all points in a cell's span actually hash to that cell
+    start = np.asarray(grid.cell_start)
+    end = np.asarray(grid.cell_end)
+    order = np.asarray(grid.order)
+    pc = np.asarray(grid.point_cell)
+    for c in range(0, 256, 17):
+        for k in range(start[c], end[c]):
+            assert pc[order[k]] == c
+
+
+def test_hashgrid_neighbor_query(rng_np):
+    pts = jnp.asarray(rng_np.uniform(0, 1, size=(300, 3)).astype(np.float32))
+    r = 0.05
+    grid = HashGrid.build_expanded(pts, r, cell_size=2 * r, n_cells=512)
+    q = jnp.asarray(rng_np.uniform(0, 1, size=(64, 3)).astype(np.float32))
+    neigh = np.asarray(grid.gather_neighbors(q, 64))
+    pts_np = np.asarray(pts)
+    q_np = np.asarray(q)
+    for i in range(64):
+        found = set(neigh[i][neigh[i] >= 0].tolist())
+        # brute-force: all points within r must be present
+        d = np.linalg.norm(pts_np - q_np[i], axis=1)
+        required = set(np.nonzero(d <= r)[0].tolist())
+        assert required <= found, (required - found)
+
+
+def test_bdpt_runs_and_matches_scale():
+    scene, _ = load_dict(cornell_box(res=32, spp=1))
+    ref = np.asarray(
+        render(scene, PathIntegrator(max_depth=4, rr_depth=9), spp=128, seed=5)
+    )
+    img = np.asarray(
+        render(scene, BDPTIntegrator(max_depth=4), spp=64, seed=1)
+    )
+    assert np.isfinite(img).all() and img.max() > 0
+    # s=1,t=1 BDPT (reference semantics, incomplete MIS) over-counts some
+    # strategies; check broad agreement of brightness scale only
+    ratio = img.mean() / ref.mean()
+    assert 0.5 < ratio < 2.5, ratio
+
+
+def test_sppm_converges_towards_path():
+    scene, _ = load_dict(cornell_box(res=32, spp=1))
+    ref = np.asarray(
+        render(scene, PathIntegrator(max_depth=5, rr_depth=9), spp=128, seed=5)
+    )
+    integ = SPPM(max_depth=4, photon_count=1 << 14, initial_radius=0.12)
+    state = integ.init_state(scene)
+    step = jax.jit(lambda st, s: integ.render_frame(scene, st, s))
+    for i in range(10):
+        img, state = step(state, jnp.uint32(i))
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    # radius shrinks where photons arrive
+    assert float(state.radius2.min()) < integ.initial_radius**2
+    # brightness within a factor band of the reference (progressive estimate)
+    mask = ref.mean(-1) > 0.05
+    ratio = img[mask].mean() / ref[mask].mean()
+    assert 0.5 < ratio < 2.0, ratio
