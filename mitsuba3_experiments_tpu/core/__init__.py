@@ -1,1 +1,10 @@
-from . import math, warp, rng, struct, records, distributions, sh  # noqa: F401
+from . import (  # noqa: F401
+    distributions,
+    math,
+    records,
+    rng,
+    sh,
+    spectrum,
+    struct,
+    warp,
+)

@@ -53,13 +53,22 @@ class PssmltState:
 
 @dataclasses.dataclass(frozen=True)
 class Pssmlt:
+    """mode="path": full NEE+MIS chain integrator registered as "pssmlt"
+    (pssmltpath.py); mode="simple": BSDF-sampling only, mutating just wo with
+    a=0.1 — the reference's "pssmlt_simple" (pssmltsimple.py:16-142)."""
+
     max_depth: int = 8
     rr_depth: int = 4
-    wo_step: float = 0.01        # pssmltpath.py:176 `a`
+    mode: str = "path"           # "path" | "simple"
+    wo_step: float = 0.01        # pssmltpath.py:176 `a` (simple uses 0.1)
     offset_sigma2: float = 0.1   # pssmlt.py:251 variance of offset step
     em_sigma2: float = 0.01      # pssmltpath.py:183
     reset_interval: int = 50
     bootstrap_count: int = 40
+
+    def __post_init__(self):
+        if self.mode == "simple" and self.wo_step == 0.01:
+            object.__setattr__(self, "wo_step", 0.1)  # pssmltsimple.py:139
 
     def init_state(self, n: int) -> PssmltState:
         return PssmltState(
@@ -111,9 +120,12 @@ class Pssmlt:
             si = ray_intersect(scene, ray, active)
 
             # direct emission with MIS vs previous bounce's NEE
-            em_pdf = pdf_emitter_direction(
-                scene, prev_si, si, ~prev_bsdf_delta
-            )
+            if self.mode == "path":
+                em_pdf = pdf_emitter_direction(
+                    scene, prev_si, si, ~prev_bsdf_delta
+                )
+            else:  # simple: BSDF sampling is the only strategy
+                em_pdf = jnp.zeros((n,), m.Float)
             mis_b = mis_weight(prev_bsdf_pdf, em_pdf)
             L = L + jnp.where(
                 (active & (prev_bsdf_pdf > 0))[:, None],
@@ -140,20 +152,27 @@ class Pssmlt:
             )
             ray = si.spawn_ray(si.to_world(wo_final))
 
-            # NEE with mutated emitter sample
-            flags = bsdflib.bsdf_flags(mats, si.mat_id)
-            active_em = active_next & has_flag(flags, BSDFFlags.Smooth)
-            sampler, u_em = sampler.next_2d()
-            em_mut = self.mutate_em(state.path_em[d], u_em, large_step)
-            ds, em_weight = sample_emitter_direction(
-                scene, si, em_mut, True, active_em
-            )
-            wo_l = si.to_local(ds.d)
-            nee_val, nee_pdf = bsdflib.eval_pdf(mats, tex, si, wo_l, active_em)
-            mi_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, nee_pdf))
-            L = L + jnp.where(
-                active_em[:, None], f * nee_val * em_weight * mi_em[:, None], 0.0
-            )
+            # NEE with mutated emitter sample (path mode only; the simple
+            # variant relies purely on BSDF sampling, pssmltsimple.py)
+            if self.mode == "path":
+                flags = bsdflib.bsdf_flags(mats, si.mat_id)
+                active_em = active_next & has_flag(flags, BSDFFlags.Smooth)
+                sampler, u_em = sampler.next_2d()
+                em_mut = self.mutate_em(state.path_em[d], u_em, large_step)
+                ds, em_weight = sample_emitter_direction(
+                    scene, si, em_mut, True, active_em
+                )
+                wo_l = si.to_local(ds.d)
+                nee_val, nee_pdf = bsdflib.eval_pdf(
+                    mats, tex, si, wo_l, active_em
+                )
+                mi_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, nee_pdf))
+                L = L + jnp.where(
+                    active_em[:, None],
+                    f * nee_val * em_weight * mi_em[:, None], 0.0,
+                )
+            else:
+                em_mut = state.path_em[d]
 
             # record proposal vertex
             prop_wo = prop_wo.at[d].set(wo_final)

@@ -39,9 +39,18 @@ def _slab_test(o, inv_d, lo, hi, t_best):
 @partial(jax.jit, static_argnames=("max_leaf", "any_hit"))
 def _traverse(bvh_lo, bvh_hi, left, right, first, count, tri_verts,
               max_leaf, o, d, maxt, active, any_hit: bool = False):
-    """Core traversal over the pointer BVH.  Returns (t, prim_slot, u, v)."""
+    """Core traversal over the pointer BVH.  Returns (t, prim_slot, u, v).
+
+    Node metadata is packed into two tables before the loop so each
+    iteration issues one (N,4) int gather + one (N,2,6) float gather instead
+    of eight separate row gathers (loop-invariant packing is hoisted by XLA).
+    """
     n = o.shape[0]
     inv_d = m.safe_div(jnp.ones((), m.Float), d, fill=jnp.inf)
+
+    # packed tables: meta = [left,right,first,count]; bounds6 = [lo|hi]
+    meta = jnp.stack([left, right, first, count], axis=1)      # (NN, 4)
+    bounds6 = jnp.concatenate([bvh_lo, bvh_hi], axis=1)        # (NN, 6)
 
     t_best = jnp.where(active, maxt, 0.0)  # inactive lanes terminate instantly
     slot_best = jnp.full((n,), -1, jnp.int32)
@@ -61,20 +70,20 @@ def _traverse(bvh_lo, bvh_hi, left, right, first, count, tri_verts,
         live = node != DONE
         node_s = jnp.maximum(node, 0)
 
-        c0 = jnp.take(left, node_s)
-        c1 = jnp.take(right, node_s)
+        md = jnp.take(meta, node_s, axis=0)                    # (N, 4)
+        c0 = md[:, 0]
+        c1 = md[:, 1]
         is_leaf = live & (c0 < 0)
         is_int = live & ~is_leaf
 
         # ---------------- internal: test both child boxes ----------------
         c0s = jnp.where(is_int, c0, 0)
         c1s = jnp.where(is_int, c1, 0)
-        lo0 = jnp.take(bvh_lo, c0s, axis=0)
-        hi0 = jnp.take(bvh_hi, c0s, axis=0)
-        lo1 = jnp.take(bvh_lo, c1s, axis=0)
-        hi1 = jnp.take(bvh_hi, c1s, axis=0)
-        h0, tn0 = _slab_test(o, inv_d, lo0, hi0, t_best)
-        h1, tn1 = _slab_test(o, inv_d, lo1, hi1, t_best)
+        bb = jnp.take(
+            bounds6, jnp.stack([c0s, c1s], axis=1), axis=0
+        )                                                      # (N, 2, 6)
+        h0, tn0 = _slab_test(o, inv_d, bb[:, 0, :3], bb[:, 0, 3:], t_best)
+        h1, tn1 = _slab_test(o, inv_d, bb[:, 1, :3], bb[:, 1, 3:], t_best)
         h0 &= is_int
         h1 &= is_int
 
@@ -88,10 +97,10 @@ def _traverse(bvh_lo, bvh_hi, left, right, first, count, tri_verts,
         push = hit_near & hit_far
 
         # ------------------- leaf: triangle packet test -------------------
-        base = jnp.where(is_leaf, jnp.take(first, node_s), 0)
+        base = jnp.where(is_leaf, md[:, 2], 0)
         k = jnp.arange(max_leaf, dtype=jnp.int32)[None, :]
         slots = base[:, None] + k
-        in_leaf = k < jnp.take(count, node_s)[:, None]
+        in_leaf = k < md[:, 3][:, None]
         tris = jnp.take(tri_verts, slots, axis=0)  # (N, K, 3, 3)
         t, uu, vv, hit = intersect_tri(o, d, tris, t_best)
         t = jnp.where(is_leaf[:, None] & in_leaf & hit, t, jnp.inf)

@@ -49,7 +49,9 @@ def _lfs_size(path: str) -> int:
 def placeholder_mesh(seed: int, n_tris: int) -> HostMesh:
     """Deterministic displaced-sphere blob with ~n_tris triangles, placed
     inside the room box; stands in for a missing OBJ mesh."""
-    n_tris = int(np.clip(n_tris, 64, 300_000))
+    # the bedroom's carpet OBJ alone is ~1.5M triangles (131MB of the 176MB
+    # LFS total) — allow single meshes that large
+    n_tris = int(np.clip(n_tris, 64, 1_600_000))
     # sphere(n_theta, n_phi) -> ~2 * n_theta * n_phi tris
     n_theta = max(4, int(np.sqrt(n_tris / 4)))
     n_phi = max(8, 2 * n_theta)
@@ -166,7 +168,41 @@ def _strip_missing_textures(d):
                 _strip_missing_textures(v)
 
 
-def load_flagship(res=(1280, 720), spp: int = 64, tri_budget: int = 2_000_000):
+def load_flagship(res=(1280, 720), spp: int = 64, tri_budget: int = 2_000_000,
+                  cache_dir: str | None = "/root/repo/.scene_cache"):
+    """Compile the flagship scene; results are disk-cached (the SAH build of
+    a 2M-triangle scene takes minutes — one .npz round trip is ~seconds)."""
+    import os
+    import pickle
+
     from .build import load_dict
 
-    return load_dict(bedroom_dict(res, spp, tri_budget))
+    key = f"flagship_{res[0]}x{res[1]}_spp{spp}_t{tri_budget}_v3"
+    if cache_dir:
+        path = os.path.join(cache_dir, key + ".pkl")
+        if os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    import jax
+
+                    host = pickle.load(f)
+                    scene = jax.tree_util.tree_map(
+                        lambda x: jax.numpy.asarray(x)
+                        if isinstance(x, np.ndarray)
+                        else x,
+                        host["scene"],
+                    )
+                    return scene, host["meta"]
+            except Exception:
+                pass
+    scene, meta = load_dict(bedroom_dict(res, spp, tri_budget))
+    if cache_dir:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        host_scene = jax.tree_util.tree_map(
+            lambda x: np.asarray(x), scene
+        )
+        with open(os.path.join(cache_dir, key + ".pkl"), "wb") as f:
+            pickle.dump({"scene": host_scene, "meta": meta}, f)
+    return scene, meta

@@ -29,7 +29,7 @@ DEPTH = int(os.environ.get("PDEPTH", 4))
 
 print(f"devices: {jax.devices()}", flush=True)
 scene, meta = load_flagship(res=(W, H), spp=1, tri_budget=TRIS)
-print(f"scene: {scene.n_faces} faces, {scene.bvh.n_leaves} leaves", flush=True)
+print(f"scene: {scene.n_faces} faces, {scene.bvh.left.shape[0]} nodes", flush=True)
 
 n = W * H
 pix = jnp.arange(n, dtype=jnp.uint32)

@@ -69,3 +69,11 @@ def test_pssmlt_step_runs():
     assert img.shape == (16, 16, 3)
     assert np.isfinite(img).all()
     assert img.max() > 0
+
+
+def test_pssmlt_simple_mode_runs():
+    scene, _ = load_dict(cornell_box(res=16, spp=1))
+    integ = Pssmlt(max_depth=3, mode="simple")
+    assert integ.wo_step == 0.1  # pssmltsimple.py a=0.1
+    img = np.asarray(integ.render(scene, seed=0, n_iterations=60))
+    assert np.isfinite(img).all() and img.max() > 0

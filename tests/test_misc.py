@@ -134,3 +134,31 @@ def test_kernel_history_cost_analysis():
 
     cost = kernel_history(f, jnp.ones((128, 128), jnp.float32))
     assert isinstance(cost, dict) and len(cost) > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from mitsuba3_experiments_tpu.utils import load_checkpoint, save_checkpoint
+
+    state = {
+        "w": jnp.arange(12.0).reshape(3, 4),
+        "step": jnp.asarray(7),
+        "nested": {"b": jnp.ones((2,))},
+    }
+    p = str(tmp_path / "ckpt")
+    save_checkpoint(p, state)
+    restored = load_checkpoint(p, state)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        state, restored,
+    )
+
+
+def test_spectrum_rgb_mode():
+    from mitsuba3_experiments_tpu.core import spectrum as sp
+
+    assert not sp.is_spectral
+    s = sp.spectrum(2.0, n=4)
+    assert s.shape == (4, 3)
+    v = jnp.ones((5, 3))
+    assert sp.to_world_mueller(v, None, None) is v
+    assert sp.unpolarized_spectrum(v) is v

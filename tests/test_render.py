@@ -162,3 +162,52 @@ def test_differentiable_reflectance_grads():
     assert np.all(np.isfinite(g))
     # white wall albedo (row 0) must receive gradient
     assert np.abs(g[0]).max() > 0
+
+
+def test_pixel_gradients_match_finite_differences():
+    """AD pixel gradients vs central finite differences (BASELINE.md
+    correctness metric; tolerance lineage: reparam.ipynb cell 10 atol=1e-3).
+
+    With RR disabled and detached sampling, the sampled paths are identical
+    under a reflectance perturbation, so AD of the estimator must equal FD
+    of the estimator to float precision."""
+    from mitsuba3_experiments_tpu.scene import update
+
+    scene, _ = load_dict(cornell_box(res=16, spp=1))
+    integ = PathIntegrator(max_depth=3, rr_depth=99, differentiable=True)
+
+    def image_mean(bc):
+        s = update(scene, {"materials.base_color": bc})
+        return jnp.mean(render(s, integ, spp=8, seed=5))
+
+    bc0 = scene.materials.base_color
+    g_ad = np.asarray(jax.grad(image_mean)(bc0))
+
+    eps = 1e-3
+    for row, ch in [(0, 0), (1, 1), (2, 0)]:  # white, green, red walls
+        e = jnp.zeros_like(bc0).at[row, ch].set(eps)
+        fd = (float(image_mean(bc0 + e)) - float(image_mean(bc0 - e))) / (
+            2 * eps
+        )
+        np.testing.assert_allclose(
+            g_ad[row, ch], fd, rtol=5e-2, atol=1e-4,
+        )
+
+
+def test_emitter_gradient_linearity():
+    """Radiance enters linearly: AD gradient wrt emitter radiance must equal
+    the finite difference exactly (same seed, same paths)."""
+    from mitsuba3_experiments_tpu.scene import update
+
+    scene, _ = load_dict(cornell_box(res=16, spp=1))
+    integ = PathIntegrator(max_depth=3, rr_depth=99, differentiable=True)
+
+    def image_mean(rad):
+        s = update(scene, {"emitters.radiance": rad})
+        return jnp.mean(render(s, integ, spp=4, seed=3))
+
+    r0 = scene.emitters.radiance
+    g = np.asarray(jax.grad(image_mean)(r0))
+    # linear: f(2r) = 2 f(r) -> grad . r == f(r) (no constant term)
+    f0 = float(image_mean(r0))
+    np.testing.assert_allclose((g * np.asarray(r0)).sum(), f0, rtol=1e-3)
