@@ -39,6 +39,17 @@ class Vertex:
     valid: jnp.ndarray   # (..., N)
 
 
+def record_path(scene, sampler, ray, max_depth: int = 8):
+    """Trace and record per-bounce vertices into a (depth, lane) buffer —
+    the public analog of the reference's Path recording utilities
+    (pathrecord.py:17-59, path-record.py:55-103): `path[depth]` is
+    `tree_map(lambda x: x[depth], path)`; whole-buffer select/scatter are
+    tree ops (core.struct)."""
+    integ = BDPTIntegrator(max_depth=max_depth)
+    path, sampler = integ.record_camera_path(scene, sampler, ray)
+    return path, sampler
+
+
 @dataclasses.dataclass(frozen=True)
 class BDPTIntegrator:
     max_depth: int = 16

@@ -26,6 +26,7 @@ from ..intersect import ray_intersect
 from ..render import bsdf as bsdflib
 from ..render.emitter import (
     eval_emitter,
+    eval_environment,
     pdf_emitter_direction,
     sample_emitter_direction,
 )
@@ -54,6 +55,7 @@ class PathIntegrator:
         # ------------------- primary hit + its emission -------------------
         si = ray_intersect(scene, ray, active)
         L = L + eval_emitter(scene, si, active)
+        L = L + eval_environment(scene, active & ~si.valid)
         active = active & si.valid & (depth < self.max_depth)
 
         state = (L, f, eta, depth, active, si, sampler)
@@ -112,6 +114,13 @@ class PathIntegrator:
             L = L + jnp.where(
                 (active & (bs.pdf > 0.0))[:, None],
                 f * eval_emitter(scene, si2, active) * mis_bsdf[:, None],
+                0.0,
+            )
+            # escaped bounce rays collect the environment (NEE never samples
+            # the env in this round, so its MIS weight is 1)
+            L = L + jnp.where(
+                (active & ~si2.valid & (bs.pdf > 0.0))[:, None],
+                f * eval_environment(scene, active & ~si2.valid),
                 0.0,
             )
 

@@ -60,6 +60,14 @@ def bsdf_flags(mats: MaterialTable, mat_id):
     return jnp.take(mats.flags, jnp.maximum(mat_id, 0))
 
 
+def base_color(mats: MaterialTable, textures, si):
+    """Per-lane base color / reflectance lookup (texture-resolved) — the
+    analog of fetching a property off a BSDF pointer via dr.dispatch
+    (/root/reference/specular_from_bsdf.py:25-50)."""
+    row = _gather_rows(mats, si.mat_id)
+    return _albedo(row, textures, si.uv)
+
+
 def _albedo(row, textures, uv):
     base = row["base_color"]
     tex = eval_texture(textures, row["tex_id"], uv)

@@ -33,6 +33,13 @@ def eval_emitter(scene: Scene, si, active=None):
     return jnp.where((has_em & front)[:, None], rad, 0.0)
 
 
+def eval_environment(scene: Scene, active):
+    """Constant environment radiance for escaped rays (mi `constant`
+    emitter; scene.environment() gate at /root/reference/path-mis.py:41)."""
+    env = scene.emitters.env_radiance
+    return jnp.where(active[:, None], env[None, :], 0.0)
+
+
 def sample_emitter_direction(scene: Scene, si_ref, u2, test_visibility=True,
                              active=None):
     """NEE: sample a direction towards an emitter from si_ref.

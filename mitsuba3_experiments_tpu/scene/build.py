@@ -31,7 +31,10 @@ _BSDF_TYPES = {
     "diffuse", "conductor", "roughconductor", "dielectric", "roughdielectric",
     "plastic", "roughplastic", "mask", "twosided", "null",
 }
-_SHAPE_TYPES = {"rectangle", "cube", "sphere", "obj", "ply", "mesh"}
+_SHAPE_TYPES = {
+    "rectangle", "cube", "sphere", "obj", "ply", "mesh", "instance",
+    "shapegroup",
+}
 
 # conductor presets (eta, k at RGB primaries) — values from standard IOR data
 _CONDUCTOR_IOR = {
@@ -335,10 +338,41 @@ def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
             shapes.append((key, val))
         elif t in ("path", "direct", "integrator") or key == "integrator":
             meta["integrator"] = dict(val)
+        elif t == "constant":
+            meta["env_radiance"] = _rgb(val.get("radiance"), (1, 1, 1))
         # silently skip unknown auxiliary entries
 
     if camera is None:
         camera = _build_camera({"fov": 45.0})
+
+    # resolve instancing (mi shapegroup/instance, used by the reference's
+    # to_dict.py round-trip): shapegroups define geometry, instances stamp a
+    # transformed copy — flattened here since geometry is pre-transformed
+    groups = {k: v for k, v in shapes if v.get("type") == "shapegroup"}
+    resolved = []
+    for key, sd in shapes:
+        t = sd.get("type")
+        if t == "shapegroup":
+            continue
+        if t == "instance":
+            ref = sd.get("shapegroup") or sd.get("ref", {}).get("id")
+            if isinstance(ref, dict):
+                ref = ref.get("id")
+            group = groups[ref]
+            for gk, gv in group.items():
+                if isinstance(gv, dict) and gv.get("type") in _SHAPE_TYPES:
+                    inner = dict(gv)
+                    tw_outer = np.asarray(
+                        sd.get("to_world", np.eye(4)), np.float32
+                    )
+                    tw_inner = np.asarray(
+                        inner.get("to_world", np.eye(4)), np.float32
+                    )
+                    inner["to_world"] = tw_outer @ tw_inner
+                    resolved.append((f"{key}.{gk}", inner))
+        else:
+            resolved.append((key, sd))
+    shapes = resolved
 
     # pass 2: shapes -> concatenated geometry
     all_v, all_n, all_uv, all_f = [], [], [], []
@@ -409,7 +443,10 @@ def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
         face_flat=jnp.asarray(face_flat),
     )
     materials, atlas = mb.tables()
-    emitters = _build_emitter_table(V, F, face_em, emitters_rad)
+    emitters = _build_emitter_table(
+        V, F, face_em, emitters_rad,
+        env=meta.pop("env_radiance", None),
+    )
     bvh = build_bvh(V, F)
 
     # pre-gathered triangles in BVH prim order; tail-padded with degenerate
@@ -431,7 +468,7 @@ def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
     return scene, meta
 
 
-def _build_emitter_table(V, F, face_em, emitters_rad) -> EmitterTable:
+def _build_emitter_table(V, F, face_em, emitters_rad, env=None) -> EmitterTable:
     import jax.numpy as jnp
 
     em_mask = face_em >= 0
@@ -458,6 +495,9 @@ def _build_emitter_table(V, F, face_em, emitters_rad) -> EmitterTable:
         face_to_slot[em_faces] = np.arange(len(em_faces), dtype=np.int32)
 
     return EmitterTable(
+        env_radiance=jnp.asarray(
+            np.zeros(3, np.float32) if env is None else env
+        ),
         radiance=jnp.asarray(rad),
         em_face=jnp.asarray(em_faces),
         em_face_emitter=jnp.asarray(em_face_emitter),

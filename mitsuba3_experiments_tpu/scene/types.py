@@ -93,6 +93,9 @@ class EmitterTable:
     em_face_area: jnp.ndarray     # (EF,) f32 world-space area
     face_dist: DiscreteDistribution  # over EF slots (weight = area * power)
     face_to_slot: jnp.ndarray     # (F,) i32 global face -> EF slot or -1
+    # constant environment emitter (mi `constant`); zeros = none.  Evaluated
+    # on ray misses (scene.environment() checks, path-mis.py:41)
+    env_radiance: jnp.ndarray     # (3,)
 
 
 @jstruct

