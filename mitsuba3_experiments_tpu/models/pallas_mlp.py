@@ -1,0 +1,98 @@
+"""Fused MLP forward as a single Pallas TPU kernel.
+
+The coopvec idea from the reference's Dr.Jit branches
+(/root/reference/nerad.py:7-11): keep per-ray activations close to the
+compute units across *all* layers instead of round-tripping HBM between
+layer matmuls.  On TPU that means one kernel per batch tile: weights and the
+tile's activations live in VMEM, each layer is one MXU `jnp.dot`, and only
+the final output is written back.  Falls back to models/mlp.py (XLA) when
+shapes don't fit the tiling constraints; numerically identical (tested).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .mlp import ACTS
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sizes", "hidden_act", "tile", "interpret")
+)
+def fused_mlp_forward(params_flat, x, sizes: tuple, hidden_act: str = "leaky_relu",
+                      tile: int = 512, interpret: bool = False):
+    """params_flat: tuple of (w0, b0, w1, b1, ...); x: (N, sizes[0]).
+
+    All layer widths are zero-padded to multiples of 128 (lane width); the
+    batch is tiled by `tile` rows per grid step.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[0]
+    n_layers = len(sizes) - 1
+    widths = [_round_up(s, 128) for s in sizes]
+    wmax = max(widths)
+
+    # pad weights into uniform (L, wmax, wmax) / biases (L, wmax) buffers
+    Ws = []
+    Bs = []
+    for i in range(n_layers):
+        w = params_flat[2 * i]
+        b = params_flat[2 * i + 1]
+        wp = jnp.zeros((wmax, wmax), jnp.float32)
+        wp = wp.at[: w.shape[0], : w.shape[1]].set(w)
+        bp = jnp.zeros((wmax,), jnp.float32).at[: b.shape[0]].set(b)
+        Ws.append(wp)
+        Bs.append(bp)
+    W = jnp.stack(Ws)                      # (L, wmax, wmax)
+    B = jnp.stack(Bs)                      # (L, wmax)
+
+    n_pad = _round_up(max(n, 8), tile)
+    xp = jnp.zeros((n_pad, wmax), jnp.float32)
+    xp = xp.at[:n, : sizes[0]].set(x.astype(jnp.float32))
+
+    act = ACTS[hidden_act]
+
+    def kernel(w_ref, b_ref, x_ref, o_ref):
+        h = x_ref[...]
+        for layer in range(n_layers):
+            w = w_ref[layer]
+            h = (
+                jnp.dot(
+                    h.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                + b_ref[layer][None, :]
+            )
+            if layer < n_layers - 1:
+                h = act(h)
+        o_ref[...] = h
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((n_layers, wmax, wmax), lambda i: (0, 0, 0)),
+            pl.BlockSpec((n_layers, wmax), lambda i: (0, 0)),
+            pl.BlockSpec((tile, wmax), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, wmax), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, wmax), jnp.float32),
+        interpret=interpret,
+    )(W, B, xp)
+    return out[:n, : sizes[-1]]
+
+
+def mlp_params_flat(params):
+    """models/mlp.py param list -> flat tuple for fused_mlp_forward."""
+    flat = []
+    for layer in params:
+        flat += [layer["w"], layer["b"]]
+    return tuple(flat)

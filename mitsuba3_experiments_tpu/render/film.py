@@ -42,6 +42,29 @@ def put(film, pos, value, active=None, rfilter: str = "box"):
         xi = jnp.floor(pos[..., 0]).astype(jnp.int32)
         yi = jnp.floor(pos[..., 1]).astype(jnp.int32)
         return _accum(film, xi, yi, jnp.ones((n,), m.Float), value, active)
+    elif rfilter == "gaussian":
+        # mitsuba's gaussian rfilter: sigma=0.5, radius 2 -> 4x4 taps,
+        # truncated (weight offset so it reaches 0 at the radius)
+        import numpy as np
+
+        sigma = 0.5
+        radius = 2.0
+        alpha = -1.0 / (2.0 * sigma * sigma)
+        offset = float(np.exp(alpha * radius * radius))
+        px = pos[..., 0] - 0.5
+        py = pos[..., 1] - 0.5
+        x0 = jnp.floor(px - radius + 1).astype(jnp.int32)
+        y0 = jnp.floor(py - radius + 1).astype(jnp.int32)
+        for dx in range(4):
+            for dy in range(4):
+                xi = x0 + dx
+                yi = y0 + dy
+                ddx = xi.astype(m.Float) - px
+                ddy = yi.astype(m.Float) - py
+                wx = jnp.maximum(jnp.exp(alpha * ddx * ddx) - offset, 0.0)
+                wy = jnp.maximum(jnp.exp(alpha * ddy * ddy) - offset, 0.0)
+                film = _accum(film, xi, yi, wx * wy, value, active)
+        return film
     elif rfilter == "tent":
         # sample position relative to pixel centers at (i+0.5)
         px = pos[..., 0] - 0.5

@@ -1,0 +1,54 @@
+"""Multi-device scaling efficiency: rays/s at 1/2/4/8 devices on a virtual
+CPU mesh (BASELINE.md scaling target proxy — the environment exposes one real
+TPU chip, so the 1->N scaling law is validated on the host mesh; the sharding
+code path is identical on ICI).
+
+Usage: JAX_PLATFORMS= python scripts/scaling_bench.py [res] [tris]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+from mitsuba3_experiments_tpu.integrators import PathIntegrator
+from mitsuba3_experiments_tpu.parallel import make_mesh, render_sharded
+from mitsuba3_experiments_tpu.scene.flagship import load_flagship
+
+res = int(sys.argv[1]) if len(sys.argv) > 1 else 320
+tris = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+
+scene, _ = load_flagship(res=(res, res * 9 // 16), spp=1, tri_budget=tris)
+integ = PathIntegrator(max_depth=4, rr_depth=2)
+w, h = scene.camera.resolution
+n_rays = w * h
+
+results = {}
+for nd in (1, 2, 4, 8):
+    mesh = make_mesh(nd)
+    img = render_sharded(scene, integ, mesh, spp=1, seed=0)  # compile
+    img.block_until_ready()
+    t0 = time.perf_counter()
+    iters = 3
+    for i in range(iters):
+        img = render_sharded(scene, integ, mesh, spp=1, seed=i + 1)
+    img.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    rays_s = n_rays / dt
+    results[nd] = rays_s
+    eff = rays_s / (results[1] * nd) if nd > 1 else 1.0
+    print(
+        f"devices={nd}: {rays_s/1e3:8.1f} krays/s  "
+        f"scaling efficiency={eff*100:5.1f}%",
+        flush=True,
+    )

@@ -176,3 +176,24 @@ def test_reparam_training_concentrates_mass():
         np.asarray(z) - np.array([0.7, 0.3]), axis=-1
     )
     assert np.median(d) < 0.8 * np.median(d_uniform), np.median(d)
+
+
+def test_pallas_fused_mlp_matches_xla():
+    from mitsuba3_experiments_tpu.models.pallas_mlp import (
+        fused_mlp_forward,
+        mlp_params_flat,
+    )
+
+    sizes = (16, 64, 64, 3)
+    params = init_mlp(jax.random.PRNGKey(2), list(sizes))
+    x = jax.random.normal(jax.random.PRNGKey(3), (300, 16))
+    ref = apply_mlp(params, x)  # bf16 XLA path
+    try:
+        got = fused_mlp_forward(
+            mlp_params_flat(params), x, sizes, interpret=True
+        )
+    except Exception as e:
+        pytest.skip(f"pallas interpret unavailable: {e}")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
+    )

@@ -254,3 +254,17 @@ def test_instancing():
     assert scene.n_faces == 24  # two cube instances
     v = np.asarray(scene.geometry.vertices)
     assert v[:, 0].max() > 2.5 and v[:, 0].min() < -2.5
+
+
+def test_gaussian_filter_partition():
+    f = filmlib.new_film(8, 8)
+    # constant-value splats at random positions: developed image must be
+    # that constant wherever weight is nonzero (partition-of-unity-free
+    # correctness of weighted average)
+    pos = jnp.asarray(np.random.default_rng(0).uniform(2, 6, (32, 2)),
+                      jnp.float32)
+    val = jnp.full((32, 3), 1.7, jnp.float32)
+    fg = filmlib.put(f, pos, val, rfilter="gaussian")
+    img = np.asarray(filmlib.develop(fg))
+    w = np.asarray(fg[..., 3])
+    np.testing.assert_allclose(img[w > 1e-4], 1.7, rtol=1e-5)
