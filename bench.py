@@ -57,21 +57,30 @@ def _run(res, w, h, spp, depth, tris):
     scene, meta = load_flagship(res=(w, h), spp=spp, tri_budget=tris)
     integ = PathIntegrator(max_depth=depth, rr_depth=4)
 
+    # chunked launches: the remote compiler's time explodes with lane
+    # count, so one fixed-size program is compiled and reused for every
+    # chunk of every pass (see integrators/common.py::render_pass)
+    chunk = int(os.environ.get("BENCH_CHUNK", "32768"))
+    n = w * h
     film = filmlib.new_film(w, h)
     # warmup / compile
     film = render_pass(
         scene, integ, jnp.uint32(0), jnp.uint32(0), film,
-        spp_per_pass=1, rfilter="tent",
+        spp_per_pass=1, rfilter="tent", chunk=chunk,
+        lane_offset=jnp.uint32(0),
     )
     film.block_until_ready()
+    print("# compile done", flush=True)
 
     iters = max(spp, 2)
     t0 = time.perf_counter()
     for i in range(iters):
-        film = render_pass(
-            scene, integ, jnp.uint32(1), jnp.uint32(i), film,
-            spp_per_pass=1, rfilter="tent",
-        )
+        for off in range(0, n, chunk):
+            film = render_pass(
+                scene, integ, jnp.uint32(1), jnp.uint32(i), film,
+                spp_per_pass=1, rfilter="tent", chunk=chunk,
+                lane_offset=jnp.uint32(off),
+            )
     film.block_until_ready()
     dt = time.perf_counter() - t0
 

@@ -49,15 +49,25 @@ def mis_weight(pdf_a, pdf_b):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("integrator", "spp_per_pass", "rfilter"),
+    static_argnames=("integrator", "spp_per_pass", "rfilter", "chunk"),
     donate_argnums=(4,),
 )
 def render_pass(scene: Scene, integrator, seed, pass_idx, film,
-                spp_per_pass: int = 1, rfilter: str = "box"):
-    """One wavefront pass: W*H*spp_per_pass camera rays -> film splats."""
+                spp_per_pass: int = 1, rfilter: str = "box",
+                chunk: int | None = None, lane_offset=0):
+    """One wavefront launch: `chunk` camera rays starting at `lane_offset`
+    (default: the whole W*H*spp_per_pass wavefront) -> film splats.
+
+    Chunking exists because the axon remote compiler's time explodes with
+    lane count; a fixed chunk compiles once and is reused for every chunk of
+    every pass (lane_offset is traced, chunk is static).
+    """
     w, h = scene.camera.resolution
     n = w * h * spp_per_pass
-    lane = jnp.arange(n, dtype=jnp.uint32)
+    if chunk is None:
+        chunk = n
+    lane = jnp.arange(chunk, dtype=jnp.uint32) + jnp.uint32(lane_offset)
+    in_range = lane < n
     pix = lane // spp_per_pass
     px = (pix % w).astype(m.Float)
     py = (pix // w).astype(m.Float)
@@ -67,15 +77,16 @@ def render_pass(scene: Scene, integrator, seed, pass_idx, film,
     pos = jnp.stack([px, py], axis=-1) + jitter
 
     ray = sensorlib.sample_ray(scene.camera, pos)
-    L, valid, sampler = integrator.sample(scene, sampler, ray)
+    L, valid, sampler = integrator.sample(scene, sampler, ray, in_range)
     L = jnp.where(jnp.isfinite(L), L, 0.0)
-    return filmlib.put(film, pos, L, rfilter=rfilter)
+    return filmlib.put(film, pos, L, active=in_range, rfilter=rfilter)
 
 
 def render(scene: Scene, integrator, seed: int = 0, spp: int = 16,
-           rfilter: str | None = None, spp_per_pass: int | None = None):
-    """Full render: loops passes on the host (like the reference's
-    n_passes loop, path.py:172-179), accumulating into one film."""
+           rfilter: str | None = None, spp_per_pass: int | None = None,
+           chunk: int | None = None):
+    """Full render: loops passes (and optionally fixed-size lane chunks) on
+    the host — the reference's n_passes loop, path.py:172-179."""
     w, h = scene.camera.resolution
     if spp_per_pass is None:
         # keep the wavefront around <= 2^21 lanes
@@ -84,11 +95,20 @@ def render(scene: Scene, integrator, seed: int = 0, spp: int = 16,
         spp_per_pass -= 1
     n_passes = spp // spp_per_pass
     rfilter = rfilter or "box"
+    n = w * h * spp_per_pass
 
     film = filmlib.new_film(w, h)
     for p in range(n_passes):
-        film = render_pass(
-            scene, integrator, jnp.uint32(seed), jnp.uint32(p), film,
-            spp_per_pass=spp_per_pass, rfilter=rfilter,
-        )
+        if chunk is None:
+            film = render_pass(
+                scene, integrator, jnp.uint32(seed), jnp.uint32(p), film,
+                spp_per_pass=spp_per_pass, rfilter=rfilter,
+            )
+        else:
+            for off in range(0, n, chunk):
+                film = render_pass(
+                    scene, integrator, jnp.uint32(seed), jnp.uint32(p), film,
+                    spp_per_pass=spp_per_pass, rfilter=rfilter,
+                    chunk=chunk, lane_offset=jnp.uint32(off),
+                )
     return filmlib.develop(film)

@@ -268,3 +268,13 @@ def test_gaussian_filter_partition():
     img = np.asarray(filmlib.develop(fg))
     w = np.asarray(fg[..., 3])
     np.testing.assert_allclose(img[w > 1e-4], 1.7, rtol=1e-5)
+
+
+def test_chunked_render_identical():
+    """Chunked launches must produce the same image as one launch (global
+    lane indexing; compile-time workaround for the TPU remote compiler)."""
+    scene, _ = load_dict(cornell_box(res=24, spp=1))
+    integ = PathIntegrator(max_depth=3, rr_depth=2)
+    full = np.asarray(render(scene, integ, spp=2, seed=4))
+    chunked = np.asarray(render(scene, integ, spp=2, seed=4, chunk=200))
+    np.testing.assert_allclose(chunked, full, rtol=1e-5, atol=1e-6)
