@@ -42,8 +42,11 @@ cost = kernel_history(
     render_pass, scene, PathIntegrator(max_depth=max_depth), jnp.uint32(0),
     jnp.uint32(0), filmlib.new_film(res, res), spp_per_pass=1, rfilter="box",
 )
-interesting = {k: v for k, v in cost.items() if "flops" in k or "bytes" in k}
-print(f"cost analysis: {interesting}")
+print(
+    f"cost analysis: flops={cost.get('flops', 0):.3g} "
+    f"bytes={cost.get('bytes accessed', 0):.3g} "
+    f"temp={cost.get('temp_size_in_bytes', 0):.3g}"
+)
 
 write_exr("out/path_mis.exr", img_mis)
 write_png("out/path_mis.png", img_mis)
