@@ -22,8 +22,8 @@ def prefix_sum(x, exclusive: bool = False):
     return s
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def prefix_sum_pallas(x, block: int = 2048):
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def prefix_sum_pallas(x, block: int = 2048, interpret: bool = False):
     """Blocked inclusive scan as a Pallas TPU kernel.
 
     Grid walks blocks sequentially (TPU grid order is sequential per core),
@@ -57,5 +57,6 @@ def prefix_sum_pallas(x, block: int = 2048):
         out_specs=pl.BlockSpec((block,), lambda i: (i,)),
         out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
         scratch_shapes=[pltpu.SMEM((1,), x.dtype)],
+        interpret=interpret,
     )(xp)
     return out[:n]

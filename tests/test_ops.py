@@ -21,15 +21,12 @@ def test_prefix_sum(rng_np):
 
 
 def test_prefix_sum_pallas_interpret(rng_np):
-    # Run the Pallas scan in interpreter-compatible CPU mode via jit on cpu.
+    # Pallas blocked scan in interpret mode (CPU-exact semantics)
     x = jnp.asarray(rng_np.normal(size=5000).astype(np.float32))
-    try:
-        got = ops.prefix_sum_pallas(x, block=1024)
-    except Exception:
-        import pytest
-
-        pytest.skip("pallas unsupported on this backend")
-    np.testing.assert_allclose(np.asarray(got), np.cumsum(np.asarray(x)), rtol=1e-4)
+    got = ops.prefix_sum_pallas(x, block=1024, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.cumsum(np.asarray(x)), rtol=1e-4, atol=1e-4
+    )
 
 
 def test_scatter_reduce_builtin(rng_np):

@@ -278,3 +278,20 @@ def test_chunked_render_identical():
     full = np.asarray(render(scene, integ, spp=2, seed=4))
     chunked = np.asarray(render(scene, integ, spp=2, seed=4, chunk=200))
     np.testing.assert_allclose(chunked, full, rtol=1e-5, atol=1e-6)
+
+
+def test_perspective_projection_matches_sample_direction(rng_np):
+    scene, _ = load_dict(cornell_box(res=64, spp=1))
+    p_world = jnp.asarray(
+        rng_np.uniform(-0.8, 0.8, size=(32, 3)).astype(np.float32)
+    )
+    pos, dist, valid = sensorlib.sample_direction(scene.camera, p_world)
+    M = sensorlib.perspective_projection(scene.camera)
+    hom = jnp.concatenate([p_world, jnp.ones((32, 1))], axis=1) @ M.T
+    ndc = hom[:, :2] / hom[:, 3:4]
+    pos2 = ndc * jnp.asarray([64.0, 64.0])
+    np.testing.assert_allclose(
+        np.asarray(pos2)[np.asarray(valid)],
+        np.asarray(pos)[np.asarray(valid)],
+        atol=1e-2,
+    )
