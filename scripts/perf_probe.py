@@ -56,18 +56,21 @@ for _ in range(3):
 print(f"primary intersect: {dt*1e3:.1f} ms -> {n/dt/1e6:.2f} Mrays/s "
       f"(hit rate {float(jnp.mean(jnp.isfinite(t))):.2f})", flush=True)
 
+CHUNK = int(os.environ.get("PCHUNK", "32768"))
 integ = PathIntegrator(max_depth=DEPTH, rr_depth=4)
 film = filmlib.new_film(W, H)
 t0 = time.time()
 film = render_pass(scene, integ, jnp.uint32(0), jnp.uint32(0), film,
-                   spp_per_pass=1, rfilter="tent")
+                   spp_per_pass=1, rfilter="tent", chunk=CHUNK,
+                   lane_offset=jnp.uint32(0))
 film.block_until_ready()
-print(f"render compile+run: {time.time()-t0:.2f}s", flush=True)
-for i in range(2):
-    t0 = time.time()
-    film = render_pass(scene, integ, jnp.uint32(0), jnp.uint32(i + 1), film,
-                       spp_per_pass=1, rfilter="tent")
-    film.block_until_ready()
-    dt = time.time() - t0
-print(f"render pass (depth {DEPTH}): {dt*1e3:.1f} ms -> "
+print(f"render compile+run (chunk {CHUNK}): {time.time()-t0:.2f}s", flush=True)
+t0 = time.time()
+for off in range(0, n, CHUNK):
+    film = render_pass(scene, integ, jnp.uint32(0), jnp.uint32(1), film,
+                       spp_per_pass=1, rfilter="tent", chunk=CHUNK,
+                       lane_offset=jnp.uint32(off))
+film.block_until_ready()
+dt = time.time() - t0
+print(f"render pass (depth {DEPTH}, chunked): {dt*1e3:.1f} ms -> "
       f"{n/dt/1e6:.3f} Mcam-rays/s", flush=True)
