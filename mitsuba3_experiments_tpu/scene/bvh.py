@@ -29,7 +29,34 @@ def _aabb_area(lo, hi):
 
 
 def build_bvh(vertices: np.ndarray, faces: np.ndarray, leaf_size: int = 4) -> BVH:
-    """Binned-SAH BVH; returns pointer-based flat arrays (see types.BVH)."""
+    """Binned-SAH BVH; returns pointer-based flat arrays (see types.BVH).
+
+    Uses the native C++ builder (native/bvh_builder.cpp) when available —
+    ~100x faster at bedroom scale; this numpy implementation remains the
+    semantic reference (tests compare both against the brute-force oracle).
+    """
+    import jax.numpy as jnp
+
+    from .native import try_build_bvh_native
+
+    native = try_build_bvh_native(vertices, faces, leaf_size)
+    if native is not None:
+        lo, hi, left, right, first, count, order, max_leaf = native
+        return BVH(
+            bounds_lo=jnp.asarray(lo),
+            bounds_hi=jnp.asarray(hi),
+            left=jnp.asarray(left),
+            right=jnp.asarray(right),
+            first=jnp.asarray(first),
+            count=jnp.asarray(count),
+            prim_order=jnp.asarray(order),
+            max_leaf=max(max_leaf, 1),
+        )
+    return _build_bvh_numpy(vertices, faces, leaf_size)
+
+
+def _build_bvh_numpy(vertices: np.ndarray, faces: np.ndarray,
+                     leaf_size: int = 4) -> BVH:
     import jax.numpy as jnp
 
     v = np.asarray(vertices, np.float32)
