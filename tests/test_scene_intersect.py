@@ -136,3 +136,26 @@ def test_bedroom_class_mesh_bvh(rng_np):
     )
     # all these rays aim at the sphere's interior box, so they must hit
     assert bool(jnp.all(si.valid))
+
+
+def test_native_bvh_matches_numpy_builder():
+    """The C++ binned-SAH builder must produce the same tree as the numpy
+    reference implementation (same bins, same stop rule)."""
+    from mitsuba3_experiments_tpu.scene import mesh as meshlib
+    from mitsuba3_experiments_tpu.scene.bvh import _build_bvh_numpy
+    from mitsuba3_experiments_tpu.scene.native import try_build_bvh_native
+
+    sph = meshlib.sphere(radius=1.0, n_theta=24, n_phi=48)
+    native = try_build_bvh_native(sph.vertices, sph.faces, 4)
+    if native is None:
+        pytest.skip("native lib not built")
+    ref = _build_bvh_numpy(sph.vertices, sph.faces, 4)
+    lo, hi, left, right, first, count, order, max_leaf = native
+    assert left.shape[0] == ref.left.shape[0]
+    assert max_leaf <= 4
+    # leaves partition the primitive set identically in size distribution
+    import numpy as _np
+
+    assert sorted(count[left == -1].tolist()) == sorted(
+        _np.asarray(ref.count)[_np.asarray(ref.left) == -1].tolist()
+    )
