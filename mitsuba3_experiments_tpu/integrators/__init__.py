@@ -11,4 +11,5 @@ from .restir import RestirGI  # noqa: F401
 from .pssmlt import Pssmlt  # noqa: F401
 from .bdpt import BDPTIntegrator  # noqa: F401
 from .sppm import SPPM  # noqa: F401
+from .ptracer import ParticleTracer  # noqa: F401
 from . import metropolis  # noqa: F401

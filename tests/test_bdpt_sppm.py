@@ -109,3 +109,30 @@ def test_record_path_buffer():
     si_like = v1
     # (reuse the real integrator for a richer check: just validity here)
     assert bool(jnp.any(v1.valid))
+
+
+@pytest.mark.slow
+def test_ptracer_matches_path():
+    """Adjoint particle tracer converges to the camera path tracer
+    (the testpssmlt.py ptracer-vs-path oracle pattern)."""
+    from mitsuba3_experiments_tpu.integrators.ptracer import ParticleTracer
+
+    scene, _ = load_dict(cornell_box(res=32, spp=1))
+    ref = np.asarray(
+        render(scene, PathIntegrator(max_depth=4, rr_depth=9), spp=256, seed=7)
+    )
+    pt = ParticleTracer(max_depth=4, rr_depth=9)
+    img = np.asarray(pt.render(scene, seed=0, spp=256))
+    mask = ref.mean(-1) > 0.05
+    rel = np.abs(img - ref)[mask] / (ref[mask] + 0.05)
+    assert rel.mean() < 0.15, rel.mean()
+    ratio = (img[mask] / np.maximum(ref[mask], 1e-5)).mean()
+    assert 0.9 < ratio < 1.1, ratio
+
+
+def test_ptracer_runs_quick():
+    from mitsuba3_experiments_tpu.integrators.ptracer import ParticleTracer
+
+    scene, _ = load_dict(cornell_box(res=16, spp=1))
+    img = np.asarray(ParticleTracer(max_depth=3).render(scene, seed=0, spp=8))
+    assert np.isfinite(img).all() and img.max() > 0
