@@ -1,12 +1,20 @@
-"""Vectorized BVH traversal: scene.ray_intersect / ray_test, the TPU way.
+"""Vectorized 8-wide BVH traversal: scene.ray_intersect / ray_test.
 
 Replaces the OptiX RTX / Embree backends (SURVEY.md section 2.2; usage
-/root/reference/path.py:238,281, restirgi.py:320,346).  All rays traverse in
-lockstep inside one `lax.while_loop`: each lane walks its own path through the
-*implicit* binary BVH (children of node i are 2i+1/2i+2 — see scene/bvh.py),
-so the only memory traffic is bounds/triangle gathers; there are no child
-pointer fetches and no divergence beyond per-lane masks.  Leaf hits test a
-`leaf_size` packet of pre-gathered triangles (scene.tri_verts) per step.
+/root/reference/path.py:238,281, restirgi.py:320,346).  Rays traverse in
+lockstep inside one `lax.while_loop` over the packed-row wide BVH
+(scene/bvh8.py).  Per iteration:
+
+  internal step: ONE (N,)-row gather of the 64-float node row, then pure
+                 VPU slab tests of all 8 child boxes; nearest hit child is
+                 descended, the other hits are pushed with ONE flat scatter.
+  leaf step:     ONE row gather of 8 packed triangles (+1 for face ids),
+                 8 unrolled VPU Moller-Trumbore tests.
+
+This shape is dictated by measurement (BENCH.md): the axon TPU's gathers
+cost ~0.1-0.35 ms each regardless of size, and gathers with multi-dim index
+arrays (or take_along_axis) are compile-time bombs — so each step does the
+minimum count of simple row gathers and nothing else touches memory.
 """
 from __future__ import annotations
 
@@ -18,150 +26,148 @@ import jax.numpy as jnp
 from ..core import math as m
 from ..core.records import Ray, SurfaceInteraction
 from ..scene.types import Scene
-from .triangle import intersect_tri
 
-STACK_DEPTH = 32
-DONE = jnp.int32(-1)
-
-
-def _slab_test(o, inv_d, lo, hi, t_best):
-    """Ray/AABB slab test. lo, hi: (..., 3). Returns (hit, t_near)."""
-    t0 = (lo - o) * inv_d
-    t1 = (hi - o) * inv_d
-    tmin = jnp.minimum(t0, t1)
-    tmax = jnp.maximum(t0, t1)
-    t_near = jnp.max(tmin, axis=-1)
-    t_far = jnp.min(tmax, axis=-1)
-    hit = (t_near <= t_far * 1.00000024) & (t_far > 0.0) & (t_near < t_best)
-    return hit, t_near
+STACK_DEPTH = 64
+DONE = jnp.int32(-1)  # shared with "empty child" code
+WIDTH = 8
 
 
-@partial(jax.jit, static_argnames=("max_leaf", "any_hit"))
-def _traverse(bvh_lo, bvh_hi, left, right, first, count, tri_verts,
-              max_leaf, o, d, maxt, active, any_hit: bool = False):
-    """Core traversal over the pointer BVH.  Returns (t, prim_slot, u, v).
+def _tri_test9(o, d, g9, t_best):
+    """Moller-Trumbore against a packed (N, 9) [v0|v1|v2] row."""
+    v0 = g9[:, 0:3]
+    e1 = g9[:, 3:6] - v0
+    e2 = g9[:, 6:9] - v0
+    pvec = m.cross(d, e2)
+    det = m.dot(e1, pvec)
+    inv_det = m.safe_div(jnp.ones((), det.dtype), det)
+    tvec = o - v0
+    u = m.dot(tvec, pvec) * inv_det
+    qvec = m.cross(tvec, e1)
+    v = m.dot(d, qvec) * inv_det
+    t = m.dot(e2, qvec) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-10)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > 0.0) & (t < t_best)
+    )
+    return t, u, v, hit
 
-    Node metadata is packed into two tables before the loop so each
-    iteration issues one (N,4) int gather + one (N,2,6) float gather instead
-    of eight separate row gathers (loop-invariant packing is hoisted by XLA).
-    """
+
+@partial(jax.jit, static_argnames=("any_hit",))
+def _traverse(nodes, leaf_tris, leaf_face, o, d, maxt, active,
+              any_hit: bool = False):
+    """Returns (t, face, u, v) with face == -1 for misses."""
     n = o.shape[0]
     inv_d = m.safe_div(jnp.ones((), m.Float), d, fill=jnp.inf)
 
-    # packed tables: meta = [left,right,first,count]; bounds6 = [lo|hi]
-    meta = jnp.stack([left, right, first, count], axis=1)      # (NN, 4)
-    bounds6 = jnp.concatenate([bvh_lo, bvh_hi], axis=1)        # (NN, 6)
-
-    t_best = jnp.where(active, maxt, 0.0)  # inactive lanes terminate instantly
-    slot_best = jnp.full((n,), -1, jnp.int32)
+    t_best = jnp.where(active, maxt, 0.0)
+    face_best = jnp.full((n,), -1, jnp.int32)
     u_best = jnp.zeros((n,), m.Float)
     v_best = jnp.zeros((n,), m.Float)
 
-    node = jnp.where(active, jnp.zeros((n,), jnp.int32), DONE)
-    stack = jnp.zeros((n, STACK_DEPTH), jnp.int32)
+    # code: >=0 internal row; -1 DONE; <=-2 leaf row (-code-2)
+    cur = jnp.where(active, jnp.zeros((n,), jnp.int32), DONE)
+    stack = jnp.zeros((n * STACK_DEPTH,), jnp.int32)
+    lane_base = jnp.arange(n, dtype=jnp.int32) * STACK_DEPTH
     sp = jnp.zeros((n,), jnp.int32)
 
     def cond(state):
-        node, *_ = state
-        return jnp.any(node != DONE)
+        cur, *_ = state
+        return jnp.any(cur != DONE)
 
     def body(state):
-        node, sp, stack, t_best, slot_best, u_best, v_best = state
-        live = node != DONE
-        node_s = jnp.maximum(node, 0)
+        cur, sp, stack, t_best, face_best, u_best, v_best = state
+        live = cur != DONE
+        is_int = cur >= 0
+        is_leaf = cur <= -2
 
-        md = jnp.take(meta, node_s, axis=0)                    # (N, 4)
-        c0 = md[:, 0]
-        c1 = md[:, 1]
-        is_leaf = live & (c0 < 0)
-        is_int = live & ~is_leaf
-
-        # ---------------- internal: test both child boxes ----------------
-        c0s = jnp.where(is_int, c0, 0)
-        c1s = jnp.where(is_int, c1, 0)
-        bb = jnp.take(
-            bounds6, jnp.stack([c0s, c1s], axis=1), axis=0
-        )                                                      # (N, 2, 6)
-        h0, tn0 = _slab_test(o, inv_d, bb[:, 0, :3], bb[:, 0, 3:], t_best)
-        h1, tn1 = _slab_test(o, inv_d, bb[:, 1, :3], bb[:, 1, 3:], t_best)
-        h0 &= is_int
-        h1 &= is_int
-
-        near_is_0 = tn0 <= tn1
-        near = jnp.where(near_is_0, c0, c1)
-        far = jnp.where(near_is_0, c1, c0)
-        hit_near = jnp.where(near_is_0, h0, h1)
-        hit_far = jnp.where(near_is_0, h1, h0)
-        # if only far hit, descend it directly
-        next_int = jnp.where(hit_near, near, jnp.where(hit_far, far, DONE))
-        push = hit_near & hit_far
-
-        # ------------------- leaf: triangle packet test -------------------
-        base = jnp.where(is_leaf, md[:, 2], 0)
-        k = jnp.arange(max_leaf, dtype=jnp.int32)[None, :]
-        slots = base[:, None] + k
-        in_leaf = k < md[:, 3][:, None]
-        tris = jnp.take(tri_verts, slots, axis=0)  # (N, K, 3, 3)
-        t, uu, vv, hit = intersect_tri(o, d, tris, t_best)
-        t = jnp.where(is_leaf[:, None] & in_leaf & hit, t, jnp.inf)
-        k_best = jnp.argmin(t, axis=-1)
-        t_new = jnp.take_along_axis(t, k_best[:, None], axis=-1)[:, 0]
-        improved = t_new < t_best
-        t_best = jnp.where(improved, t_new, t_best)
-        slot_new = base + k_best.astype(jnp.int32)
-        slot_best = jnp.where(improved, slot_new, slot_best)
-        u_best = jnp.where(
-            improved, jnp.take_along_axis(uu, k_best[:, None], -1)[:, 0], u_best
+        # ------------------ internal: one row, 8 slab tests ----------------
+        row = jnp.take(nodes, jnp.where(is_int, cur, 0), axis=0)  # (N, 64)
+        codes = jax.lax.bitcast_convert_type(row[:, 0:8], jnp.int32)
+        bb = row[:, 8:56].reshape(n, WIDTH, 6)
+        t0 = (bb[:, :, 0:3] - o[:, None, :]) * inv_d[:, None, :]
+        t1 = (bb[:, :, 3:6] - o[:, None, :]) * inv_d[:, None, :]
+        tmin = jnp.minimum(t0, t1)
+        tmax = jnp.maximum(t0, t1)
+        t_near = jnp.max(tmin, axis=-1)                 # (N, 8)
+        t_far = jnp.min(tmax, axis=-1)
+        hit = (
+            (t_near <= t_far * 1.00000024) & (t_far > 0.0)
+            & (t_near < t_best[:, None]) & (codes != DONE)
+            & is_int[:, None]
         )
-        v_best = jnp.where(
-            improved, jnp.take_along_axis(vv, k_best[:, None], -1)[:, 0], v_best
+
+        t_sort = jnp.where(hit, t_near, jnp.inf)
+        k_near = jnp.argmin(t_sort, axis=-1)            # (N,)
+        any_child = jnp.any(hit, axis=-1)
+        onehot_near = (
+            jnp.arange(WIDTH, dtype=jnp.int32)[None, :] == k_near[:, None]
         )
+        near_code = jnp.sum(jnp.where(onehot_near, codes, 0), axis=-1)
+
+        # push the remaining hit children (unordered) with one flat scatter
+        push_mask = hit & ~onehot_near                  # (N, 8)
+        offs = jnp.cumsum(push_mask.astype(jnp.int32), axis=-1) - 1
+        push_pos = sp[:, None] + offs
+        flat_idx = jnp.where(
+            push_mask & (push_pos < STACK_DEPTH),
+            lane_base[:, None] + push_pos,
+            n * STACK_DEPTH,
+        )
+        stack = stack.at[flat_idx.reshape(-1)].set(
+            codes.reshape(-1), mode="drop"
+        )
+        n_push = jnp.sum(push_mask, axis=-1).astype(jnp.int32)
+
+        # --------------------- leaf: packed triangles ---------------------
+        leaf_id = jnp.where(is_leaf, -cur - 2, 0)
+        trow = jnp.take(leaf_tris, leaf_id, axis=0)     # (N, 80)
+        frow = jnp.take(leaf_face, leaf_id, axis=0)     # (N, 8)
+        for k in range(WIDTH):
+            t, u, v, h = _tri_test9(o, d, trow[:, 9 * k : 9 * k + 9], t_best)
+            ok = is_leaf & h & (frow[:, k] >= 0)
+            t_best = jnp.where(ok, t, t_best)
+            face_best = jnp.where(ok, frow[:, k], face_best)
+            u_best = jnp.where(ok, u, u_best)
+            v_best = jnp.where(ok, v, v_best)
+
         if any_hit:
-            # shadow rays: a hit ends the lane
-            early_done = is_leaf & (slot_best >= 0)
+            early_done = is_leaf & (face_best >= 0)
         else:
             early_done = jnp.zeros_like(is_leaf)
 
-        # ---------------------- stack push / pop -------------------------
-        # leaves always pop; internals pop when neither child hit
-        want_pop = (is_leaf & ~early_done) | (is_int & (next_int == DONE))
-        sp_c = jnp.clip(sp, 0, STACK_DEPTH - 1)
-        top = jnp.take_along_axis(stack, sp_c[:, None] - 1, axis=1)[:, 0]
-        popped = jnp.where(sp > 0, top, DONE)
-
-        next_node = jnp.where(
-            is_int & (next_int != DONE), next_int,
-            jnp.where(want_pop, popped, DONE),
+        # ------------------------- pop / descend --------------------------
+        descend = is_int & any_child
+        sp_new = jnp.where(descend, sp + n_push, sp)
+        want_pop = live & ~early_done & ~descend
+        top = jnp.take(
+            stack, lane_base + jnp.clip(sp_new - 1, 0, STACK_DEPTH - 1)
         )
-        next_node = jnp.where(live & ~early_done, next_node, DONE)
-
-        sp_after = jnp.where(want_pop & (sp > 0), sp - 1, sp)
-        # push far child
-        stack = jnp.where(
-            push[:, None]
-            & (jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :] == sp_after[:, None]),
-            far[:, None],
-            stack,
+        popped = jnp.where(sp_new > 0, top, DONE)
+        nxt = jnp.where(
+            descend, near_code, jnp.where(want_pop, popped, DONE)
         )
-        sp_after = jnp.where(push, sp_after + 1, sp_after)
-        sp_after = jnp.where(next_node == DONE, 0, sp_after)
+        nxt = jnp.where(live & ~early_done, nxt, DONE)
+        sp_new = jnp.where(want_pop & (sp_new > 0), sp_new - 1, sp_new)
+        sp_new = jnp.where(nxt == DONE, 0, sp_new)
 
-        return (next_node, sp_after, stack, t_best, slot_best, u_best, v_best)
+        return (nxt, sp_new, stack, t_best, face_best, u_best, v_best)
 
-    # Degenerate single-leaf tree: root (node 0) is itself the leaf when
-    # n_leaves == 1 -> first_leaf == 0, handled naturally by is_leaf.
-    state = (node, sp, stack, t_best, slot_best, u_best, v_best)
-    node, sp, stack, t_best, slot_best, u_best, v_best = jax.lax.while_loop(
+    state = (cur, sp, stack, t_best, face_best, u_best, v_best)
+    cur, sp, stack, t_best, face_best, u_best, v_best = jax.lax.while_loop(
         cond, body, state
     )
-    t_out = jnp.where(slot_best >= 0, t_best, jnp.inf)
-    return t_out, slot_best, u_best, v_best
+    t_out = jnp.where(face_best >= 0, t_best, jnp.inf)
+    return t_out, face_best, u_best, v_best
 
 
-# Scenes at or below this many triangle slots skip the BVH entirely: a dense
-# all-triangles test is pure VPU work with zero gathers — faster on TPU for
-# small scenes (cornell box) and exactly what the MXU-friendly layout wants.
+# Scenes at or below this many leaf rows skip the BVH: a dense all-triangles
+# test is pure VPU work with zero gathers — fastest for tiny scenes.
 BRUTE_FORCE_MAX_SLOTS = 64
+
+
+def _n_tri_slots(scene):
+    return scene.bvh.leaf_tris.shape[0] * WIDTH
 
 
 def ray_intersect(scene: Scene, ray: Ray, active=None) -> SurfaceInteraction:
@@ -169,15 +175,14 @@ def ray_intersect(scene: Scene, ray: Ray, active=None) -> SurfaceInteraction:
     n = ray.o.shape[0]
     if active is None:
         active = jnp.ones((n,), bool)
-    if scene.tri_verts.shape[0] <= BRUTE_FORCE_MAX_SLOTS:
+    if _n_tri_slots(scene) <= BRUTE_FORCE_MAX_SLOTS:
         return ray_intersect_brute(scene, ray, active)
     b = scene.bvh
-    t, slot, u, v = _traverse(
-        b.bounds_lo, b.bounds_hi, b.left, b.right, b.first, b.count,
-        scene.tri_verts, b.max_leaf,
+    t, face, u, v = _traverse(
+        b.nodes, b.leaf_tris, b.leaf_face,
         ray.o, ray.d, ray.maxt, active, False,
     )
-    return _make_si(scene, ray, t, slot, u, v)
+    return _make_si(scene, ray, t, face, u, v)
 
 
 def ray_test(scene: Scene, ray: Ray, active=None):
@@ -185,51 +190,51 @@ def ray_test(scene: Scene, ray: Ray, active=None):
     n = ray.o.shape[0]
     if active is None:
         active = jnp.ones((n,), bool)
-    if scene.tri_verts.shape[0] <= BRUTE_FORCE_MAX_SLOTS:
+    if _n_tri_slots(scene) <= BRUTE_FORCE_MAX_SLOTS:
         si = ray_intersect_brute(scene, ray, active)
         return si.prim_idx >= 0
     b = scene.bvh
-    t, slot, _, _ = _traverse(
-        b.bounds_lo, b.bounds_hi, b.left, b.right, b.first, b.count,
-        scene.tri_verts, b.max_leaf,
+    t, face, _, _ = _traverse(
+        b.nodes, b.leaf_tris, b.leaf_face,
         ray.o, ray.d, ray.maxt, active, True,
     )
-    return slot >= 0
+    return face >= 0
 
 
 def ray_intersect_brute(scene: Scene, ray: Ray, active=None) -> SurfaceInteraction:
-    """Oracle path: test every triangle (used by tests to validate the BVH)."""
+    """Oracle path: test every packed triangle slot (validates the BVH)."""
     n = ray.o.shape[0]
     if active is None:
         active = jnp.ones((n,), bool)
-    P = scene.tri_verts.shape[0]
+    b = scene.bvh
+    L = b.leaf_tris.shape[0]
+    tris = b.leaf_tris[:, :72].reshape(L * WIDTH, 3, 3)
+    faces_flat = b.leaf_face.reshape(-1)
     maxt = jnp.where(active, ray.maxt, 0.0)
-    # (1, P, 3, 3) broadcasts against (N, 1, 3) rays — XLA fuses, no materialize
-    t, u, v, hit = intersect_tri(
-        ray.o, ray.d, scene.tri_verts[None, :, :, :], maxt
-    )
-    # mask tail padding slots (tri_verts is padded past len(prim_order))
-    valid_slot = (
-        jnp.arange(P, dtype=jnp.int32) < scene.bvh.prim_order.shape[0]
-    )
-    t = jnp.where(valid_slot[None, :], t, jnp.inf)
+
+    from .triangle import intersect_tri
+
+    t, u, v, hit = intersect_tri(ray.o, ray.d, tris[None, :, :, :], maxt)
+    t = jnp.where((faces_flat >= 0)[None, :], t, jnp.inf)
     k = jnp.argmin(t, axis=-1)
     tb = jnp.take_along_axis(t, k[:, None], -1)[:, 0]
-    slot = jnp.where(jnp.isfinite(tb), k.astype(jnp.int32), -1)
+    face = jnp.where(
+        jnp.isfinite(tb), jnp.take(faces_flat, k), -1
+    )
     ub = jnp.take_along_axis(u, k[:, None], -1)[:, 0]
     vb = jnp.take_along_axis(v, k[:, None], -1)[:, 0]
-    return _make_si(scene, ray, jnp.where(slot >= 0, tb, jnp.inf), slot, ub, vb)
+    return _make_si(
+        scene, ray, jnp.where(face >= 0, tb, jnp.inf), face, ub, vb
+    )
 
 
-def _make_si(scene: Scene, ray: Ray, t, slot, u, v) -> SurfaceInteraction:
-    """Assemble the SurfaceInteraction from a hit (slot into BVH prim order)."""
+def _make_si(scene: Scene, ray: Ray, t, face, u, v) -> SurfaceInteraction:
+    """Assemble the SurfaceInteraction from a hit (global face id)."""
     g = scene.geometry
-    valid = slot >= 0
-    slot_s = jnp.maximum(slot, 0)
-    face = jnp.take(scene.bvh.prim_order, slot_s)
-    face = jnp.where(valid, face, 0)
+    valid = face >= 0
+    face_s = jnp.where(valid, face, 0)
 
-    fidx = jnp.take(g.faces, face, axis=0)            # (N, 3)
+    fidx = jnp.take(g.faces, face_s, axis=0)            # (N, 3)
     v0 = jnp.take(g.vertices, fidx[:, 0], axis=0)
     v1 = jnp.take(g.vertices, fidx[:, 1], axis=0)
     v2 = jnp.take(g.vertices, fidx[:, 2], axis=0)
@@ -238,7 +243,7 @@ def _make_si(scene: Scene, ray: Ray, t, slot, u, v) -> SurfaceInteraction:
     p = v0 + e1 * u[:, None] + v[:, None] * e2
     ng = m.normalize(m.cross(e1, e2))
 
-    flat = jnp.take(g.face_flat, face)
+    flat = jnp.take(g.face_flat, face_s)
     n0 = jnp.take(g.normals, fidx[:, 0], axis=0)
     n1 = jnp.take(g.normals, fidx[:, 1], axis=0)
     n2 = jnp.take(g.normals, fidx[:, 2], axis=0)
@@ -268,6 +273,6 @@ def _make_si(scene: Scene, ray: Ray, t, slot, u, v) -> SurfaceInteraction:
         uv=jnp.where(inval[:, None], 0.0, uv),
         wi=jnp.where(inval[:, None], jnp.array([0.0, 0.0, 1.0]), wi),
         prim_idx=jnp.where(valid, face, -1),
-        mat_id=jnp.where(valid, jnp.take(g.face_mat, face), -1),
-        emitter_id=jnp.where(valid, jnp.take(g.face_emitter, face), -1),
+        mat_id=jnp.where(valid, jnp.take(g.face_mat, face_s), -1),
+        emitter_id=jnp.where(valid, jnp.take(g.face_emitter, face_s), -1),
     )

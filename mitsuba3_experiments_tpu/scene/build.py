@@ -448,14 +448,6 @@ def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
         env=meta.pop("env_radiance", None),
     )
     bvh = build_bvh(V, F)
-
-    # pre-gathered triangles in BVH prim order; tail-padded with degenerate
-    # tris so leaf packet reads (first + max_leaf) never index out of range
-    po = np.asarray(bvh.prim_order)
-    tv = V[F[po]]  # (F, 3, 3)
-    tv = np.concatenate(
-        [tv, np.zeros((bvh.max_leaf, 3, 3), np.float32)], axis=0
-    )
     scene = Scene(
         geometry=geometry,
         materials=materials,
@@ -463,9 +455,10 @@ def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
         camera=camera,
         textures=atlas,
         bvh=bvh,
-        tri_verts=jnp.asarray(tv),
     )
     return scene, meta
+
+
 
 
 def _build_emitter_table(V, F, face_em, emitters_rad, env=None) -> EmitterTable:

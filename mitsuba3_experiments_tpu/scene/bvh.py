@@ -28,35 +28,42 @@ def _aabb_area(lo, hi):
     return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0])
 
 
-def build_bvh(vertices: np.ndarray, faces: np.ndarray, leaf_size: int = 4) -> BVH:
-    """Binned-SAH BVH; returns pointer-based flat arrays (see types.BVH).
+def build_bvh(vertices: np.ndarray, faces: np.ndarray, leaf_size: int = 8) -> BVH:
+    """Build the packed 8-wide BVH (types.BVH).
 
-    Uses the native C++ builder (native/bvh_builder.cpp) when available —
-    ~100x faster at bedroom scale; this numpy implementation remains the
-    semantic reference (tests compare both against the brute-force oracle).
+    Pipeline: binary binned SAH (native C++ builder when available, numpy
+    reference otherwise) -> 8-wide collapse + row packing (scene/bvh8.py).
     """
     import jax.numpy as jnp
 
+    from .bvh8 import collapse_to_wide
     from .native import try_build_bvh_native
 
     native = try_build_bvh_native(vertices, faces, leaf_size)
     if native is not None:
         lo, hi, left, right, first, count, order, max_leaf = native
-        return BVH(
-            bounds_lo=jnp.asarray(lo),
-            bounds_hi=jnp.asarray(hi),
-            left=jnp.asarray(left),
-            right=jnp.asarray(right),
-            first=jnp.asarray(first),
-            count=jnp.asarray(count),
-            prim_order=jnp.asarray(order),
-            max_leaf=max(max_leaf, 1),
+    else:
+        lo, hi, left, right, first, count, order = _build_bvh_numpy(
+            vertices, faces, leaf_size
         )
-    return _build_bvh_numpy(vertices, faces, leaf_size)
+
+    v = np.asarray(vertices, np.float32)
+    f = np.asarray(faces, np.int64)
+    tv_flat = v[f[order]].reshape(len(order), 9).astype(np.float32)
+    nodes, leaf_tris, leaf_face = collapse_to_wide(
+        lo, hi, left, right, first, count, order, tv_flat,
+        order.astype(np.int32),
+    )
+    return BVH(
+        nodes=jnp.asarray(nodes),
+        leaf_tris=jnp.asarray(leaf_tris),
+        leaf_face=jnp.asarray(leaf_face),
+    )
 
 
 def _build_bvh_numpy(vertices: np.ndarray, faces: np.ndarray,
-                     leaf_size: int = 4) -> BVH:
+                     leaf_size: int = 8):
+    """Returns raw binary arrays (lo, hi, left, right, first, count, order)."""
     import jax.numpy as jnp
 
     v = np.asarray(vertices, np.float32)
@@ -254,15 +261,12 @@ def _build_bvh_numpy(vertices: np.ndarray, faces: np.ndarray,
             n_lo[nid] = pl.min(axis=0)
             n_hi[nid] = ph.max(axis=0)
 
-    max_leaf = int(n_count[:n_nodes][n_left[:n_nodes] == -1].max()) if F else 1
-
-    return BVH(
-        bounds_lo=jnp.asarray(n_lo[:n_nodes].astype(np.float32)),
-        bounds_hi=jnp.asarray(n_hi[:n_nodes].astype(np.float32)),
-        left=jnp.asarray(n_left[:n_nodes].astype(np.int32)),
-        right=jnp.asarray(n_right[:n_nodes].astype(np.int32)),
-        first=jnp.asarray(n_first[:n_nodes].astype(np.int32)),
-        count=jnp.asarray(n_count[:n_nodes].astype(np.int32)),
-        prim_order=jnp.asarray(order.astype(np.int32)),
-        max_leaf=max(max_leaf, 1),
+    return (
+        n_lo[:n_nodes].astype(np.float32),
+        n_hi[:n_nodes].astype(np.float32),
+        n_left[:n_nodes].astype(np.int32),
+        n_right[:n_nodes].astype(np.int32),
+        n_first[:n_nodes].astype(np.int32),
+        n_count[:n_nodes].astype(np.int32),
+        order.astype(np.int32),
     )

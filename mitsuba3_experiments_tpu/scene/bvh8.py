@@ -1,0 +1,135 @@
+"""8-wide BVH: collapse of the binary SAH tree into packed-row tables.
+
+Motivation (BENCH.md): traversal on this TPU is gather-latency bound
+(~0.1-0.35 ms per gather regardless of size), so the wide layout packs
+everything one traversal step needs into a single row:
+
+  nodes    (NN8, 64) f32 — [0:8]  child codes (bitcast int32:
+                                   >=0 internal node row; -1 empty;
+                                   <=-2 leaf row = -code-2)
+                           [8:56] 8 x (lo.xyz | hi.xyz) child bounds
+                           [56:64] pad
+  leaf_tris (L, 80) f32 —  8 x 9 packed triangle vertices (+8 pad)
+  leaf_face (L, 8) i32  —  global face ids (-1 padding; padded slots hold
+                           degenerate all-zero triangles that never hit)
+
+One internal step = ONE row gather + pure VPU 8-box slab tests; one leaf
+step = TWO row gathers (verts + faces) + 8 unrolled VPU triangle tests.
+Tree depth ~ log8 -> ~3x fewer lockstep iterations than the binary tree.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .types import BVH
+
+WIDTH = 8
+LEAF_CAP = 8
+EMPTY = -1
+
+
+def collapse_to_wide(lo, hi, left, right, first, count, prim_order,
+                     tri_verts_flat, faces_global):
+    """Binary SAH arrays -> packed wide tables (host, numpy + python loop).
+
+    tri_verts_flat: (F, 9) f32 triangle vertices in prim_order slot order.
+    faces_global:   (F,) i32 global face id per slot.
+    """
+    n_bin = left.shape[0]
+
+    wide_children: list[list[int]] = []   # entries: +node / ~leaf refs
+    leaf_rows: list[tuple[int, int]] = []  # (first, count) per leaf row
+
+    # map binary node -> wide code, built iteratively
+    # collapse: take a binary internal node, expand the child set until
+    # WIDTH subtrees (preferring to expand internal children), children that
+    # are binary leaves become leaf rows.
+    def make_leaf(b):
+        leaf_rows.append((int(first[b]), int(count[b])))
+        return -(len(leaf_rows) - 1) - 2
+
+    wide_of_binary = {}
+    order = [0]
+    codes = {}
+    # BFS allocate wide rows for binary internal nodes reachable as subtree
+    # roots after collapse
+    queue = [0]
+    while queue:
+        b = queue.pop()
+        if b in wide_of_binary:
+            continue
+        if left[b] == -1:
+            continue  # handled by parent as leaf
+        wid = len(wide_children)
+        wide_of_binary[b] = wid
+        wide_children.append([])
+
+        # gather up to WIDTH subtree roots under b
+        roots = [left[b], right[b]]
+        while len(roots) < WIDTH:
+            # expand the internal root with the largest subtree (by picking
+            # any internal; use the one with widest bounds heuristically ->
+            # just first internal found)
+            pick = -1
+            for i, r in enumerate(roots):
+                if left[r] != -1:
+                    pick = i
+                    break
+            if pick < 0:
+                break
+            r = roots.pop(pick)
+            roots.extend([left[r], right[r]])
+        wide_children[wid] = roots
+        for r in roots:
+            if left[r] != -1:
+                queue.append(r)
+
+    # second pass: encode child codes + bounds
+    nn8 = len(wide_children)
+    nodes = np.zeros((max(nn8, 1), 64), np.float32)
+    codes_arr = np.full((max(nn8, 1), WIDTH), EMPTY, np.int32)
+    for wid, roots in enumerate(wide_children):
+        for k, r in enumerate(roots):
+            if left[r] == -1:
+                code = make_leaf(r)
+            else:
+                code = wide_of_binary[r]
+            codes_arr[wid, k] = code
+            nodes[wid, 8 + 6 * k : 8 + 6 * k + 3] = lo[r]
+            nodes[wid, 8 + 6 * k + 3 : 8 + 6 * k + 6] = hi[r]
+        for k in range(len(roots), WIDTH):
+            # empty slot: inverted bounds (slab test always misses)
+            nodes[wid, 8 + 6 * k : 8 + 6 * k + 3] = 3e38
+            nodes[wid, 8 + 6 * k + 3 : 8 + 6 * k + 6] = -3e38
+    nodes[:, 0:8] = codes_arr.view(np.float32)
+
+    # leaf tables
+    L = max(len(leaf_rows), 1)
+    leaf_tris = np.zeros((L, 80), np.float32)
+    leaf_face = np.full((L, 8), -1, np.int32)
+    for li, (f0, c) in enumerate(leaf_rows):
+        c = min(c, LEAF_CAP)
+        leaf_tris[li, : 9 * c] = tri_verts_flat[f0 : f0 + c].reshape(-1)
+        leaf_face[li, :c] = faces_global[f0 : f0 + c]
+
+    # degenerate whole-scene-is-one-leaf case: synthesize a root node
+    if nn8 == 0:
+        code = make_leaf(0) if not leaf_rows else -2
+        codes_arr = np.full((1, WIDTH), EMPTY, np.int32)
+        codes_arr[0, 0] = -2
+        nodes = np.zeros((1, 64), np.float32)
+        nodes[0, 0:8] = codes_arr.view(np.float32)
+        nodes[0, 8:11] = lo[0]
+        nodes[0, 11:14] = hi[0]
+        for k in range(1, WIDTH):
+            nodes[0, 8 + 6 * k : 8 + 6 * k + 3] = 3e38
+            nodes[0, 8 + 6 * k + 3 : 8 + 6 * k + 6] = -3e38
+        L = max(len(leaf_rows), 1)
+        leaf_tris = np.zeros((L, 80), np.float32)
+        leaf_face = np.full((L, 8), -1, np.int32)
+        for li, (f0, c) in enumerate(leaf_rows):
+            c = min(c, LEAF_CAP)
+            leaf_tris[li, : 9 * c] = tri_verts_flat[f0 : f0 + c].reshape(-1)
+            leaf_face[li, :c] = faces_global[f0 : f0 + c]
+
+    return nodes, leaf_tris, leaf_face

@@ -118,23 +118,20 @@ class Camera:
 
 @jstruct
 class BVH:
-    """Pointer-based binned-SAH BVH (scene/bvh.py).
+    """8-wide packed-row BVH (scene/bvh.py + scene/bvh8.py).
 
-    Node i: internal when left[i] >= 0 (children left[i]/right[i]); leaf when
-    left[i] == -1, owning prim_order[first[i] : first[i]+count[i]].  Gathers
-    of child indices are cheap on TPU (measured, scripts/gather_bench.py), so
-    tree quality is bought with pointers rather than an implicit layout.
-    `max_leaf` bounds every leaf's count (static: sizes the packet test).
+    TPU traversal is gather-latency bound, so one row gather fetches
+    everything a step needs:
+      nodes    (NN8, 64) f32 — [0:8] child codes (bitcast i32: >=0 internal
+               row, -1 empty, <=-2 leaf row -code-2); [8:56] 8x(lo|hi).
+      leaf_tris (L, 80) f32 — 8 packed triangles (9 floats each).
+      leaf_face (L, 8)  i32 — global face ids (-1 pad; pad slots hold
+               degenerate triangles that can never hit).
     """
 
-    bounds_lo: jnp.ndarray   # (NN, 3) f32
-    bounds_hi: jnp.ndarray   # (NN, 3) f32
-    left: jnp.ndarray        # (NN,) i32, -1 for leaves
-    right: jnp.ndarray       # (NN,) i32
-    first: jnp.ndarray       # (NN,) i32 offset into prim_order
-    count: jnp.ndarray       # (NN,) i32 leaf prim count (0 for internal)
-    prim_order: jnp.ndarray  # (F,) i32 permutation of triangle ids
-    max_leaf: int = static_field(default=4)
+    nodes: jnp.ndarray      # (NN8, 64) f32
+    leaf_tris: jnp.ndarray  # (L, 80) f32
+    leaf_face: jnp.ndarray  # (L, 8) i32
 
 
 @jstruct
@@ -145,10 +142,6 @@ class Scene:
     camera: Camera
     textures: TextureAtlas
     bvh: BVH
-    # Pre-gathered per-face triangle vertices (F, 3, 3) in BVH prim order —
-    # the hot intersection path reads these contiguously instead of chasing
-    # the index buffer (AoS-over-SoA like the reference's path buffers).
-    tri_verts: jnp.ndarray
 
     @property
     def n_faces(self):

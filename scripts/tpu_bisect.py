@@ -45,7 +45,7 @@ for tris in (50_000, 100_000, 150_000, 200_000):
             t.block_until_ready()
         dt = (time.time() - t2) / 3
         print(
-            f"tris={tris}: faces={scene.n_faces} leaves={scene.bvh.n_leaves} "
+            f"tris={tris}: faces={scene.n_faces} nodes={scene.bvh.nodes.shape[0]} "
             f"compile+run={tc:.1f}s run={dt*1e3:.1f}ms "
             f"hit={float(jnp.mean(jnp.isfinite(t))):.2f}",
             flush=True,

@@ -151,11 +151,10 @@ def test_native_bvh_matches_numpy_builder():
         pytest.skip("native lib not built")
     ref = _build_bvh_numpy(sph.vertices, sph.faces, 4)
     lo, hi, left, right, first, count, order, max_leaf = native
-    assert left.shape[0] == ref.left.shape[0]
+    r_lo, r_hi, r_left, r_right, r_first, r_count, r_order = ref
+    assert left.shape[0] == r_left.shape[0]
     assert max_leaf <= 4
     # leaves partition the primitive set identically in size distribution
-    import numpy as _np
-
     assert sorted(count[left == -1].tolist()) == sorted(
-        _np.asarray(ref.count)[_np.asarray(ref.left) == -1].tolist()
+        r_count[r_left == -1].tolist()
     )
