@@ -119,10 +119,10 @@ def _traverse(nodes, leaf_tris, leaf_face, o, d, maxt, active,
         )
         n_push = jnp.sum(push_mask, axis=-1).astype(jnp.int32)
 
-        # --------------------- leaf: packed triangles ---------------------
+        # ---------------- leaf: one fused packed-row gather ----------------
         leaf_id = jnp.where(is_leaf, -cur - 2, 0)
-        trow = jnp.take(leaf_tris, leaf_id, axis=0)     # (N, 80)
-        frow = jnp.take(leaf_face, leaf_id, axis=0)     # (N, 8)
+        trow = jnp.take(leaf_tris, leaf_id, axis=0)     # (N, 88)
+        frow = jax.lax.bitcast_convert_type(trow[:, 80:88], jnp.int32)
         for k in range(WIDTH):
             t, u, v, h = _tri_test9(o, d, trow[:, 9 * k : 9 * k + 9], t_best)
             ok = is_leaf & h & (frow[:, k] >= 0)
@@ -209,7 +209,7 @@ def ray_intersect_brute(scene: Scene, ray: Ray, active=None) -> SurfaceInteracti
     b = scene.bvh
     L = b.leaf_tris.shape[0]
     tris = b.leaf_tris[:, :72].reshape(L * WIDTH, 3, 3)
-    faces_flat = b.leaf_face.reshape(-1)
+    faces_flat = b.leaf_face.reshape(-1)  # kept alongside the fused rows
     maxt = jnp.where(active, ray.maxt, 0.0)
 
     from .triangle import intersect_tri

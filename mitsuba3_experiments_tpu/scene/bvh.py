@@ -179,9 +179,10 @@ def _build_bvh_numpy(vertices: np.ndarray, faces: np.ndarray,
         best_bin = flat_best % (N_BINS - 1)
         best_cost = cost.reshape(K, -1)[np.arange(K), flat_best]
 
-        # leaf decision: SAH no-split cost = area * count (traversal const 1)
-        parent_area = _aabb_area(g_lo, g_hi)
-        make_leaf = (counts <= leaf_size) | ~np.isfinite(best_cost)
+        # leaf only when small enough (degenerate SAH falls back to a
+        # median split below so leaves never exceed leaf_size)
+        make_leaf = counts <= leaf_size
+        degenerate = ~np.isfinite(best_cost) & ~make_leaf
         if depth == MAX_DEPTH - 1:
             make_leaf[:] = True
 
@@ -200,6 +201,12 @@ def _build_bvh_numpy(vertices: np.ndarray, faces: np.ndarray,
         axis_of = best_axis[seg_node]
         bin_of_axis = bins[np.arange(P), axis_of]
         goes_right = bin_of_axis > best_bin[seg_node]
+        # degenerate nodes: median split by position within the node
+        local_pos = np.arange(P, dtype=np.int64) - excl[seg_node]
+        deg_of = degenerate[seg_node]
+        goes_right = np.where(
+            deg_of, local_pos >= (counts[seg_node] // 2), goes_right
+        )
 
         # new child node ids
         split_ids = active[split_mask]

@@ -9,12 +9,13 @@ everything one traversal step needs into a single row:
                                    <=-2 leaf row = -code-2)
                            [8:56] 8 x (lo.xyz | hi.xyz) child bounds
                            [56:64] pad
-  leaf_tris (L, 80) f32 —  8 x 9 packed triangle vertices (+8 pad)
-  leaf_face (L, 8) i32  —  global face ids (-1 padding; padded slots hold
-                           degenerate all-zero triangles that never hit)
+  leafs (L, 88) f32     —  [0:72] 8 x 9 packed triangle vertices;
+                           [72:80] pad; [80:88] global face ids (bitcast
+                           i32, -1 padding — padded slots hold degenerate
+                           all-zero triangles that never hit)
 
 One internal step = ONE row gather + pure VPU 8-box slab tests; one leaf
-step = TWO row gathers (verts + faces) + 8 unrolled VPU triangle tests.
+step = ONE row gather + 8 unrolled VPU triangle tests.
 Tree depth ~ log8 -> ~3x fewer lockstep iterations than the binary tree.
 """
 from __future__ import annotations
@@ -103,14 +104,16 @@ def collapse_to_wide(lo, hi, left, right, first, count, prim_order,
             nodes[wid, 8 + 6 * k + 3 : 8 + 6 * k + 6] = -3e38
     nodes[:, 0:8] = codes_arr.view(np.float32)
 
-    # leaf tables
+    # leaf table (single fused row: verts + bitcast face ids)
     L = max(len(leaf_rows), 1)
-    leaf_tris = np.zeros((L, 80), np.float32)
+    leaf_tris = np.zeros((L, 88), np.float32)
     leaf_face = np.full((L, 8), -1, np.int32)
     for li, (f0, c) in enumerate(leaf_rows):
-        c = min(c, LEAF_CAP)
+        if c > LEAF_CAP:  # builders guarantee <= 8 via median fallback
+            raise ValueError(f"leaf overflow: {c} > {LEAF_CAP}")
         leaf_tris[li, : 9 * c] = tri_verts_flat[f0 : f0 + c].reshape(-1)
         leaf_face[li, :c] = faces_global[f0 : f0 + c]
+    leaf_tris[:, 80:88] = leaf_face.view(np.float32)
 
     # degenerate whole-scene-is-one-leaf case: synthesize a root node
     if nn8 == 0:
@@ -125,11 +128,12 @@ def collapse_to_wide(lo, hi, left, right, first, count, prim_order,
             nodes[0, 8 + 6 * k : 8 + 6 * k + 3] = 3e38
             nodes[0, 8 + 6 * k + 3 : 8 + 6 * k + 6] = -3e38
         L = max(len(leaf_rows), 1)
-        leaf_tris = np.zeros((L, 80), np.float32)
+        leaf_tris = np.zeros((L, 88), np.float32)
         leaf_face = np.full((L, 8), -1, np.int32)
         for li, (f0, c) in enumerate(leaf_rows):
             c = min(c, LEAF_CAP)
             leaf_tris[li, : 9 * c] = tri_verts_flat[f0 : f0 + c].reshape(-1)
             leaf_face[li, :c] = faces_global[f0 : f0 + c]
+        leaf_tris[:, 80:88] = leaf_face.view(np.float32)
 
     return nodes, leaf_tris, leaf_face

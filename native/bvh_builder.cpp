@@ -162,25 +162,28 @@ int m3t_build_bvh(const float* verts, int64_t n_verts, const int32_t* faces,
             }
         }
 
-        if (best_axis < 0) {  // degenerate: make a leaf
-            node.first = (int32_t)it.begin;
-            node.count = (int32_t)cnt;
-            out->max_leaf = std::max(out->max_leaf, node.count);
-            continue;
+        int64_t mid;
+        if (best_axis < 0) {
+            // degenerate (e.g. coincident centroids): median-split by order
+            // so leaves never exceed leaf_size (the wide collapse packs at
+            // most 8 triangles per leaf row)
+            mid = it.begin + cnt / 2;
+        } else {
+            float inv = N_BINS / (cmax[best_axis] - cmin[best_axis]);
+            auto goes_left = [&](int32_t p) {
+                const V3& c = cent[p];
+                float cv = best_axis == 0 ? c.x
+                           : (best_axis == 1 ? c.y : c.z);
+                int b = std::min((int)((cv - cmin[best_axis]) * inv),
+                                 N_BINS - 1);
+                return b <= best_bin;
+            };
+            int32_t* first_ptr = out->order.data() + it.begin;
+            int32_t* mid_ptr = std::partition(
+                first_ptr, out->order.data() + it.end, goes_left);
+            mid = it.begin + (mid_ptr - first_ptr);
+            if (mid == it.begin || mid == it.end) mid = it.begin + cnt / 2;
         }
-
-        float inv = N_BINS / (cmax[best_axis] - cmin[best_axis]);
-        auto goes_left = [&](int32_t p) {
-            const V3& c = cent[p];
-            float cv = best_axis == 0 ? c.x : (best_axis == 1 ? c.y : c.z);
-            int b = std::min((int)((cv - cmin[best_axis]) * inv), N_BINS - 1);
-            return b <= best_bin;
-        };
-        int32_t* first_ptr = out->order.data() + it.begin;
-        int32_t* mid_ptr = std::partition(
-            first_ptr, out->order.data() + it.end, goes_left);
-        int64_t mid = it.begin + (mid_ptr - first_ptr);
-        if (mid == it.begin || mid == it.end) mid = it.begin + cnt / 2;
 
         int32_t li = (int32_t)out->nodes.size();
         out->nodes.push_back(Node{});
