@@ -105,10 +105,22 @@ def _traverse(nodes, leaf_tris, leaf_face, o, d, maxt, active,
         )
         near_code = jnp.sum(jnp.where(onehot_near, codes, 0), axis=-1)
 
-        # push the remaining hit children (unordered) with one flat scatter
+        # push the remaining hit children far-to-near (top of stack = nearest
+        # remaining -> t_best culling prunes the most on later pops); the
+        # ordering is a rank computed from an 8x8 pairwise compare (VPU only)
         push_mask = hit & ~onehot_near                  # (N, 8)
-        offs = jnp.cumsum(push_mask.astype(jnp.int32), axis=-1) - 1
-        push_pos = sp[:, None] + offs
+        tp = jnp.where(push_mask, t_near, -jnp.inf)     # pushed entries only
+        ki = jnp.arange(WIDTH, dtype=jnp.int32)
+        farther = (
+            (tp[:, None, :] > tp[:, :, None])
+            | ((tp[:, None, :] == tp[:, :, None])
+               & (ki[None, None, :] > ki[None, :, None]))
+        ) & push_mask[:, None, :]
+        # pos_k = sp + #{pushed j farther than k}: farthest lands at the
+        # bottom, nearest at the top (popped first)
+        n_push = jnp.sum(push_mask, axis=-1).astype(jnp.int32)
+        rank_far = jnp.sum(farther, axis=-1).astype(jnp.int32)
+        push_pos = sp[:, None] + rank_far
         flat_idx = jnp.where(
             push_mask & (push_pos < STACK_DEPTH),
             lane_base[:, None] + push_pos,
@@ -117,7 +129,6 @@ def _traverse(nodes, leaf_tris, leaf_face, o, d, maxt, active,
         stack = stack.at[flat_idx.reshape(-1)].set(
             codes.reshape(-1), mode="drop"
         )
-        n_push = jnp.sum(push_mask, axis=-1).astype(jnp.int32)
 
         # ---------------- leaf: one fused packed-row gather ----------------
         leaf_id = jnp.where(is_leaf, -cur - 2, 0)
