@@ -82,6 +82,40 @@ class DiscreteDistribution2D:
         pmf = jnp.take(self.weights.reshape(-1), y * w + x) / self.total
         return x.astype(jnp.int32), y.astype(jnp.int32), pmf
 
+    def sample_reuse(self, u2):
+        """Sample (x, y) and rescale both uniforms to fresh uniforms within
+        the chosen texel (the 2-D analog of DiscreteDistribution.sample_reuse)
+        — gives sub-texel jitter for continuous equirect sampling without
+        extra RNG dimensions."""
+        h, w = self.weights.shape
+        ty = u2[..., 1] * self.total
+        y = jnp.clip(
+            jnp.searchsorted(self.row_cdf, ty, side="right"), 0, h - 1
+        ).astype(jnp.int32)
+        row_lo = jnp.where(y > 0, jnp.take(self.row_cdf, y - 1), 0.0)
+        row_hi = jnp.take(self.row_cdf, y)
+        uy = jnp.clip(
+            m.safe_div(ty - row_lo, row_hi - row_lo), 0.0, 1.0 - 1e-7
+        )
+
+        row = jnp.take(self.col_cdf, y, axis=0)          # (..., W)
+        tx = u2[..., 0] * row[..., -1]
+        x = jnp.clip(
+            _row_searchsorted(row, tx), 0, w - 1
+        ).astype(jnp.int32)
+        flat_cdf = self.col_cdf.reshape(-1)   # flat (N,)-index gathers only:
+        col_lo = jnp.where(                   # take_along_axis is a TPU
+            x > 0,                            # compile-time bomb (BENCH.md)
+            jnp.take(flat_cdf, y * w + jnp.maximum(x - 1, 0)),
+            0.0,
+        )
+        col_hi = jnp.take(flat_cdf, y * w + x)
+        ux = jnp.clip(
+            m.safe_div(tx - col_lo, col_hi - col_lo), 0.0, 1.0 - 1e-7
+        )
+        pmf = jnp.take(self.weights.reshape(-1), y * w + x) / self.total
+        return x, y, ux, uy, pmf
+
 
 def _row_searchsorted(rows, vals):
     """Vectorized per-row searchsorted: rows (..., W) sorted, vals (...,)."""

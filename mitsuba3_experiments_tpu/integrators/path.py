@@ -28,6 +28,7 @@ from ..render.emitter import (
     eval_emitter,
     eval_environment,
     pdf_emitter_direction,
+    pdf_environment_direction,
     sample_emitter_direction,
 )
 from .common import mis_weight, register_integrator
@@ -55,7 +56,7 @@ class PathIntegrator:
         # ------------------- primary hit + its emission -------------------
         si = ray_intersect(scene, ray, active)
         L = L + eval_emitter(scene, si, active)
-        L = L + eval_environment(scene, active & ~si.valid)
+        L = L + eval_environment(scene, active & ~si.valid, ray.d)
         active = active & si.valid & (depth < self.max_depth)
 
         state = (L, f, eta, depth, active, si, sampler)
@@ -116,11 +117,16 @@ class PathIntegrator:
                 f * eval_emitter(scene, si2, active) * mis_bsdf[:, None],
                 0.0,
             )
-            # escaped bounce rays collect the environment (NEE never samples
-            # the env in this round, so its MIS weight is 1)
+            # escaped bounce rays collect the environment, MIS-weighted
+            # against env-NEE (pdf 0 for constant/absent envs -> weight 1)
+            esc = active & ~si2.valid & (bs.pdf > 0.0)
+            env_pdf = pdf_environment_direction(
+                scene, ray2.d, esc & ~bsdf_delta
+            )
+            mis_env = mis_weight(bs.pdf, env_pdf)
             L = L + jnp.where(
-                (active & ~si2.valid & (bs.pdf > 0.0))[:, None],
-                f * eval_environment(scene, active & ~si2.valid),
+                esc[:, None],
+                f * eval_environment(scene, esc, ray2.d) * mis_env[:, None],
                 0.0,
             )
 

@@ -174,6 +174,32 @@ def _eval_pdf_kinds(row, albedo, wi, wo):
         0.0,
     )
 
+    # ---- principled (Disney-style metallic/roughness subset) --------------
+    metallic = row["params"][:, 0]
+    spec_amt = row["params"][:, 1]
+    f0 = (
+        (0.08 * spec_amt * (1.0 - metallic))[:, None]
+        + albedo * metallic[:, None]
+    )
+    F_schlick = f0 + (1.0 - f0) * jnp.clip(
+        1.0 - jnp.abs(m.dot(wi, h)), 0.0, 1.0
+    )[:, None] ** 5
+    spec_pr = m.safe_div(D * G, 4.0 * jnp.abs(cos_i))
+    diff_pr = (
+        albedo * ((1.0 - metallic) * m.INV_PI * jnp.maximum(cos_o, 0.0))[:, None]
+    )
+    f_prn = jnp.where(
+        reflect_side[:, None], diff_pr + F_schlick * spec_pr[:, None], 0.0
+    )
+    p_spec_prn = jnp.clip(0.25 + 0.5 * metallic, 0.25, 0.9)
+    pdf_prn = jnp.where(
+        reflect_side,
+        p_spec_prn
+        * m.safe_div(mf.pdf_ggx(h, alpha), 4.0 * jnp.abs(m.dot(wo, h)))
+        + (1.0 - p_spec_prn) * warp.square_to_cosine_hemisphere_pdf(wo),
+        0.0,
+    )
+
     kind = row["kind"]
     f = _select_kind(
         kind,
@@ -183,6 +209,7 @@ def _eval_pdf_kinds(row, albedo, wi, wo):
             BSDFKind.ROUGH_DIELECTRIC: f_rd,
             BSDFKind.PLASTIC: f_pl,
             BSDFKind.ROUGH_PLASTIC: f_rp,
+            BSDFKind.PRINCIPLED: f_prn,
         },
         zero3,
     )
@@ -194,6 +221,7 @@ def _eval_pdf_kinds(row, albedo, wi, wo):
             BSDFKind.ROUGH_DIELECTRIC: pdf_rd,
             BSDFKind.PLASTIC: pdf_pl,
             BSDFKind.ROUGH_PLASTIC: pdf_rp,
+            BSDFKind.PRINCIPLED: pdf_prn,
         },
         zero,
     )
@@ -373,6 +401,17 @@ def sample(mats, textures, si, u1, u2, active=None):
     )
     w_rp = m.safe_div(f_rp, pdf_rp[:, None])
 
+    # principled: GGX spec vs cosine diffuse by metallic-weighted prob
+    metallic = row["params"][:, 0]
+    p_spec_prn = jnp.clip(0.25 + 0.5 * metallic, 0.25, 0.9)
+    spec_prn = u1 < p_spec_prn
+    wo_prn = jnp.where(spec_prn[:, None], wo_rc, wo_diff)
+    f_prn_s, pdf_prn_s = _eval_pdf_kinds(
+        {**row, "kind": jnp.full_like(kind, BSDFKind.PRINCIPLED)},
+        albedo, wi, wo_prn,
+    )
+    w_prn = m.safe_div(f_prn_s, pdf_prn_s[:, None])
+
     # null: straight through
     wo_null = -wi
     w_null = jnp.ones((n, 3), m.Float)
@@ -389,6 +428,7 @@ def sample(mats, textures, si, u1, u2, active=None):
             BSDFKind.PLASTIC: wo_pl,
             BSDFKind.ROUGH_PLASTIC: wo_rp,
             BSDFKind.NULL: wo_null,
+            BSDFKind.PRINCIPLED: wo_prn,
         },
         wo_diff,
     )
@@ -403,6 +443,7 @@ def sample(mats, textures, si, u1, u2, active=None):
             BSDFKind.PLASTIC: w_pl,
             BSDFKind.ROUGH_PLASTIC: w_rp,
             BSDFKind.NULL: w_null,
+            BSDFKind.PRINCIPLED: w_prn,
         },
         w_diff,
     )
@@ -417,6 +458,7 @@ def sample(mats, textures, si, u1, u2, active=None):
             BSDFKind.PLASTIC: pdf_pl,
             BSDFKind.ROUGH_PLASTIC: pdf_rp,
             BSDFKind.NULL: jnp.ones((n,), m.Float),
+            BSDFKind.PRINCIPLED: pdf_prn_s,
         },
         pdf_diff,
     )

@@ -29,7 +29,7 @@ from ..core.records import BSDFFlags
 
 _BSDF_TYPES = {
     "diffuse", "conductor", "roughconductor", "dielectric", "roughdielectric",
-    "plastic", "roughplastic", "mask", "twosided", "null",
+    "plastic", "roughplastic", "mask", "twosided", "null", "principled",
 }
 _SHAPE_TYPES = {
     "rectangle", "cube", "sphere", "obj", "ply", "mesh", "instance",
@@ -202,6 +202,17 @@ class _MaterialBuilder:
             self._reflectance(row, d.get("opacity"), (0.5, 0.5, 0.5))
             row["flags"] = self.rows[nid]["flags"] | BSDFFlags.Null
             row["twosided"] = self.rows[nid]["twosided"]
+        elif t == "principled":
+            row["kind"] = BSDFKind.PRINCIPLED
+            self._reflectance(row, d.get("base_color"), (0.5, 0.5, 0.5))
+            row["params"][0] = float(d.get("metallic", 0.0))
+            row["params"][1] = float(d.get("specular", 0.5))
+            rough = float(d.get("roughness", 0.5))
+            row["params"][6] = max(rough * rough, 1e-3)
+            row["flags"] = (
+                BSDFFlags.DiffuseReflection | BSDFFlags.GlossyReflection
+                | BSDFFlags.FrontSide
+            )
         elif t == "null":
             row["kind"] = BSDFKind.NULL
             row["flags"] = BSDFFlags.Null
@@ -340,6 +351,14 @@ def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
             meta["integrator"] = dict(val)
         elif t == "constant":
             meta["env_radiance"] = _rgb(val.get("radiance"), (1, 1, 1))
+        elif t == "envmap":
+            meta["env_radiance"] = _rgb(val.get("scale", 1.0), (1, 1, 1))
+            if "data" in val:
+                meta["env_map"] = np.asarray(val["data"], np.float32)
+            else:
+                from ..utils.image import read_image
+
+                meta["env_map"] = read_image(val["filename"])
         # silently skip unknown auxiliary entries
 
     if camera is None:
@@ -446,6 +465,7 @@ def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
     emitters = _build_emitter_table(
         V, F, face_em, emitters_rad,
         env=meta.pop("env_radiance", None),
+        env_map=meta.pop("env_map", None),
     )
     bvh = build_bvh(V, F)
     scene = Scene(
@@ -461,8 +481,11 @@ def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
 
 
 
-def _build_emitter_table(V, F, face_em, emitters_rad, env=None) -> EmitterTable:
+def _build_emitter_table(V, F, face_em, emitters_rad, env=None,
+                         env_map=None) -> EmitterTable:
     import jax.numpy as jnp
+
+    from ..core.distributions import DiscreteDistribution2D
 
     em_mask = face_em >= 0
     em_faces = np.nonzero(em_mask)[0].astype(np.int32)
@@ -487,10 +510,37 @@ def _build_emitter_table(V, F, face_em, emitters_rad, env=None) -> EmitterTable:
         face_to_slot = np.full(F.shape[0], -1, np.int32)
         face_to_slot[em_faces] = np.arange(len(em_faces), dtype=np.int32)
 
+    # environment: luminance * sin(theta) importance table
+    if env_map is None:
+        env_map = np.ones((1, 1, 3), np.float32)
+    env_scale = np.zeros(3, np.float32) if env is None else np.asarray(env)
+    he, we = env_map.shape[:2]
+    lum = (
+        env_map[..., 0] * 0.212671 + env_map[..., 1] * 0.71516
+        + env_map[..., 2] * 0.072169
+    )
+    sin_t = np.sin((np.arange(he) + 0.5) / he * np.pi)[:, None]
+    env_weights = np.maximum(lum * sin_t, 1e-12).astype(np.float32)
+    # NEE selection probability: env power vs area-light power (host
+    # heuristic).  Only *textured* envmaps participate in NEE; the constant
+    # emitter stays BSDF-sampled-only (pdf 0 -> escape MIS weight 1), which
+    # keeps the furnace estimator exact.
+    p_env = 0.0
+    if env is not None and (he, we) != (1, 1):
+        env_power = float(env_scale.mean()) * float(lum.mean()) * 4 * np.pi
+        area_power = (
+            0.0 if len(emitters_rad) == 0 else float(np.sum(weights)) * np.pi
+        )
+        p_env = env_power / max(env_power + area_power, 1e-12)
+        p_env = float(np.clip(
+            p_env, 0.1, 1.0 if len(emitters_rad) == 0 else 0.9
+        ))
+
     return EmitterTable(
-        env_radiance=jnp.asarray(
-            np.zeros(3, np.float32) if env is None else env
-        ),
+        env_radiance=jnp.asarray(env_scale),
+        env_map=jnp.asarray(env_map.astype(np.float32)),
+        env_dist=DiscreteDistribution2D.create(jnp.asarray(env_weights)),
+        env_select_p=jnp.asarray(p_env, jnp.float32),
         radiance=jnp.asarray(rad),
         em_face=jnp.asarray(em_faces),
         em_face_emitter=jnp.asarray(em_face_emitter),

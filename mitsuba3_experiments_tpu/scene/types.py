@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.distributions import DiscreteDistribution
+from ..core.distributions import DiscreteDistribution, DiscreteDistribution2D
 from ..core.struct import jstruct, static_field
 
 
@@ -25,8 +25,9 @@ class BSDFKind:
     ROUGH_PLASTIC = 6
     MASK = 7
     NULL = 8
+    PRINCIPLED = 9
 
-    COUNT = 9
+    COUNT = 10
 
 
 @jstruct
@@ -57,6 +58,8 @@ class MaterialTable:
                         params[1] = internal Fresnel diffuse reflectance
       ROUGH_PLASTIC:    + params[6] = alpha
       MASK:             base_color = opacity, nested_id = wrapped BSDF row
+      PRINCIPLED:       base_color, params[0] = metallic, params[1] =
+                        specular, params[6] = alpha (= roughness^2)
     """
 
     kind: jnp.ndarray        # (M,) i32 BSDFKind
@@ -93,9 +96,14 @@ class EmitterTable:
     em_face_area: jnp.ndarray     # (EF,) f32 world-space area
     face_dist: DiscreteDistribution  # over EF slots (weight = area * power)
     face_to_slot: jnp.ndarray     # (F,) i32 global face -> EF slot or -1
-    # constant environment emitter (mi `constant`); zeros = none.  Evaluated
-    # on ray misses (scene.environment() checks, path-mis.py:41)
-    env_radiance: jnp.ndarray     # (3,)
+    # environment emitter (mi `constant` / `envmap`): scale * bilinear
+    # equirect map, evaluated on ray misses (path-mis.py:41) and importance
+    # sampled for NEE.  env_map is (1,1,3) ones for the constant case and
+    # all-zeros scale when absent.
+    env_radiance: jnp.ndarray     # (3,) scale
+    env_map: jnp.ndarray          # (He, We, 3) equirect radiance
+    env_dist: DiscreteDistribution2D  # over texels (luminance * sin(theta))
+    env_select_p: jnp.ndarray     # () probability of NEE picking the env
 
 
 @jstruct

@@ -154,4 +154,11 @@ def load_xml_dict(path: str) -> dict:
                     em.update(_props(c, defaults))
                     d["emitter"] = em
             out[sid] = d
+        elif tag == "emitter":
+            # scene-level emitter: constant / envmap
+            em = {"type": elem.get("type")}
+            em.update(_props(elem, defaults))
+            if "filename" in em:
+                em["filename"] = os.path.join(base_dir, em["filename"])
+            out[elem.get("id") or "_env"] = em
     return out

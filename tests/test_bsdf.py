@@ -250,3 +250,23 @@ def test_texture_modulates_albedo():
     si = _si_with_wi(128, [0.0, 0.0, 1.0])
     bs, w = _draw(scene, si, 128)
     np.testing.assert_allclose(np.asarray(w), 0.25, atol=1e-5)
+
+
+def test_principled_consistency_and_energy():
+    for metallic in (0.0, 1.0):
+        scene = _scene_with(
+            {"type": "principled", "base_color": [0.8, 0.6, 0.4],
+             "metallic": metallic, "roughness": 0.4, "specular": 0.5}
+        )
+        si = _si_with_wi(N, [0.3, 0.1, 0.9])
+        bs, w = _draw(scene, si, N)
+        e = float(jnp.mean(m.luminance(w)))
+        assert 0.2 < e <= 1.05, (metallic, e)
+        f, pdf = bsdflib.eval_pdf(scene.materials, scene.textures, si, bs.wo)
+        keep = np.asarray(bs.pdf) > 1e-4
+        np.testing.assert_allclose(
+            np.asarray(f)[keep] / np.asarray(pdf)[keep][:, None],
+            np.asarray(w)[keep],
+            rtol=5e-2, atol=2e-3,
+        )
+    _density_check(scene, [0.3, 0.1, 0.9], atol=0.03)
