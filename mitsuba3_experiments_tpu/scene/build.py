@@ -229,6 +229,11 @@ class _MaterialBuilder:
         n = max(len(self.rows), 1)
         if not self.rows:
             self._new_row()
+        present = set()
+        for r in self.rows:
+            present.add(int(r["kind"]))
+            if r["nested_id"] >= 0:
+                present.add(int(self.rows[r["nested_id"]]["kind"]))
         mt = MaterialTable(
             kind=jnp.asarray([r["kind"] for r in self.rows], jnp.int32),
             base_color=jnp.asarray(
@@ -241,6 +246,7 @@ class _MaterialBuilder:
             flags=jnp.asarray([r["flags"] for r in self.rows], jnp.int32),
             twosided=jnp.asarray([r["twosided"] for r in self.rows], bool),
             nested_id=jnp.asarray([r["nested_id"] for r in self.rows], jnp.int32),
+            kinds_present=tuple(sorted(present)),
         )
         if self.textures:
             hmax = max(t.shape[0] for t in self.textures)

@@ -69,6 +69,10 @@ class MaterialTable:
     flags: jnp.ndarray       # (M,) i32 BSDFFlags union of lobes
     twosided: jnp.ndarray    # (M,) bool
     nested_id: jnp.ndarray   # (M,) i32 (MASK wrapper), -1 none
+    # static: sorted tuple of BSDFKind values that actually occur (incl.
+    # MASK-nested kinds).  Lets the dispatch skip absent lobe families at
+    # trace time — smaller XLA program, less VPU work.  () = unknown = all.
+    kinds_present: tuple = static_field(default=())
 
 
 @jstruct
