@@ -109,17 +109,23 @@ def _traverse(nodes, leaf_tris, leaf_face, o, d, maxt, active,
         # remaining -> t_best culling prunes the most on later pops); the
         # ordering is a rank computed from an 8x8 pairwise compare (VPU only)
         push_mask = hit & ~onehot_near                  # (N, 8)
-        tp = jnp.where(push_mask, t_near, -jnp.inf)     # pushed entries only
-        ki = jnp.arange(WIDTH, dtype=jnp.int32)
-        farther = (
-            (tp[:, None, :] > tp[:, :, None])
-            | ((tp[:, None, :] == tp[:, :, None])
-               & (ki[None, None, :] > ki[None, :, None]))
-        ) & push_mask[:, None, :]
-        # pos_k = sp + #{pushed j farther than k}: farthest lands at the
-        # bottom, nearest at the top (popped first)
         n_push = jnp.sum(push_mask, axis=-1).astype(jnp.int32)
-        rank_far = jnp.sum(farther, axis=-1).astype(jnp.int32)
+        if any_hit:
+            # occlusion query: any hit ends the lane, so push order is
+            # irrelevant — slot-order prefix count, no 8x8 rank matrix
+            pm = push_mask.astype(jnp.int32)
+            rank_far = jnp.cumsum(pm, axis=-1) - pm
+        else:
+            tp = jnp.where(push_mask, t_near, -jnp.inf)  # pushed entries only
+            ki = jnp.arange(WIDTH, dtype=jnp.int32)
+            farther = (
+                (tp[:, None, :] > tp[:, :, None])
+                | ((tp[:, None, :] == tp[:, :, None])
+                   & (ki[None, None, :] > ki[None, :, None]))
+            ) & push_mask[:, None, :]
+            # pos_k = sp + #{pushed j farther than k}: farthest lands at the
+            # bottom, nearest at the top (popped first)
+            rank_far = jnp.sum(farther, axis=-1).astype(jnp.int32)
         push_pos = sp[:, None] + rank_far
         flat_idx = jnp.where(
             push_mask & (push_pos < STACK_DEPTH),
