@@ -33,8 +33,8 @@ def _ladder():
         if k in os.environ:
             env[k.split("_", 1)[1].lower()] = cast(os.environ[k])
     base = [
-        dict(res="1280x720", spp=4, depth=8, tris=2_000_000, chunk=512),
-        dict(res="640x360", spp=2, depth=6, tris=500_000, chunk=512),
+        dict(res="1280x720", spp=4, depth=8, tris=2_000_000, chunk=768),
+        dict(res="640x360", spp=2, depth=6, tris=500_000, chunk=768),
         dict(res="160x90", spp=2, depth=4, tris=100_000, chunk=14_400),
     ]
     if env:
