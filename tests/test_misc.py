@@ -162,3 +162,40 @@ def test_spectrum_rgb_mode():
     v = jnp.ones((5, 3))
     assert sp.to_world_mueller(v, None, None) is v
     assert sp.unpolarized_spectrum(v) is v
+
+
+def test_xml_scene_level_emitter(tmp_path):
+    """Scene-level <emitter> (constant/envmap) parses into the env tables
+    (reference scenes attach envmaps at scene level, scene/xml.py)."""
+    import numpy as np
+
+    from mitsuba3_experiments_tpu.scene import load_dict
+    from mitsuba3_experiments_tpu.scene.xml import load_xml_dict
+
+    xml = """<scene version="3.0.0">
+      <sensor type="perspective">
+        <float name="fov" value="45"/>
+        <film type="hdrfilm">
+          <integer name="width" value="8"/>
+          <integer name="height" value="8"/>
+        </film>
+      </sensor>
+      <shape type="rectangle">
+        <bsdf type="diffuse"/>
+      </shape>
+      <emitter type="constant">
+        <rgb name="radiance" value="0.25 0.5 1.0"/>
+      </emitter>
+    </scene>"""
+    p = tmp_path / "s.xml"
+    p.write_text(xml)
+    d = load_xml_dict(str(p))
+    ems = [v for v in d.values()
+           if isinstance(v, dict) and v.get("type") == "constant"]
+    assert len(ems) == 1
+    scene, _ = load_dict(d)
+    np.testing.assert_allclose(
+        np.asarray(scene.emitters.env_radiance), [0.25, 0.5, 1.0]
+    )
+    assert scene.emitters.env_map.shape == (1, 1, 3)
+    assert float(scene.emitters.env_select_p) == 0.0  # constant: not NEE'd
