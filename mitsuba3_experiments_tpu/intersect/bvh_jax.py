@@ -25,9 +25,8 @@ import jax.numpy as jnp
 
 from ..core import math as m
 from ..core.records import Ray, SurfaceInteraction
+from ..scene.bvh8 import STACK_DEPTH
 from ..scene.types import Scene
-
-STACK_DEPTH = 64
 DONE = jnp.int32(-1)  # shared with "empty child" code
 WIDTH = 8
 
@@ -155,7 +154,12 @@ def _traverse(nodes, leaf_tris, leaf_face, o, d, maxt, active,
 
         # ------------------------- pop / descend --------------------------
         descend = is_int & any_child
-        sp_new = jnp.where(descend, sp + n_push, sp)
+        # clamp to capacity: collapse_to_wide guarantees depth*(WIDTH-1) <=
+        # STACK_DEPTH, so this never triggers in practice, but if it did,
+        # an unclamped sp would pop stale slots (ADVICE round 1)
+        sp_new = jnp.where(
+            descend, jnp.minimum(sp + n_push, STACK_DEPTH), sp
+        )
         want_pop = live & ~early_done & ~descend
         top = jnp.take(
             stack, lane_base + jnp.clip(sp_new - 1, 0, STACK_DEPTH - 1)

@@ -9,6 +9,8 @@ triangles, SoA material/emitter tables, an implicit BVH, and a texture atlas.
 """
 from __future__ import annotations
 
+import copy
+
 import numpy as np
 
 from ..core import math as cm
@@ -129,6 +131,13 @@ class _MaterialBuilder:
         if t == "twosided":
             nested = d.get("bsdf") or d.get("material") or _first_nested_bsdf(d)
             rid = self.build(nested)
+            # twosided is an *adapter* in Mitsuba: if the nested BSDF resolved
+            # to a shared named row (a ref), copy it into a new row so other
+            # shapes using the same name keep their one-sided behavior
+            # (ADVICE round 1: in-place mutation flipped every user of the ref).
+            if rid in self.named.values():
+                self.rows.append(copy.deepcopy(self.rows[rid]))
+                rid = len(self.rows) - 1
             self.rows[rid]["twosided"] = True
             self.rows[rid]["flags"] |= BSDFFlags.BackSide
             if name:

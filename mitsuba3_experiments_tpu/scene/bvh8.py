@@ -27,6 +27,11 @@ from .types import BVH
 WIDTH = 8
 LEAF_CAP = 8
 EMPTY = -1
+# Traversal stack capacity (intersect/bvh_jax.py uses the same constant).
+# Worst-case stack usage is tree_depth * (WIDTH - 1); collapse_to_wide
+# raises at build time if that could exceed the stack (ADVICE round 1:
+# silent overflow would drop subtrees -> missed hits).
+STACK_DEPTH = 64
 
 
 def collapse_to_wide(lo, hi, left, right, first, count, prim_order,
@@ -135,5 +140,24 @@ def collapse_to_wide(lo, hi, left, right, first, count, prim_order,
             leaf_tris[li, : 9 * c] = tri_verts_flat[f0 : f0 + c].reshape(-1)
             leaf_face[li, :c] = faces_global[f0 : f0 + c]
         leaf_tris[:, 80:88] = leaf_face.view(np.float32)
+
+    # build-time stack guarantee: depth * (WIDTH-1) pushes must fit
+    if nn8 > 0:
+        depth = np.ones(nn8, np.int32)
+        maxd = 1
+        work = [0]
+        while work:
+            wid = work.pop()
+            for code in codes_arr[wid]:
+                if code >= 0:
+                    depth[code] = depth[wid] + 1
+                    maxd = max(maxd, int(depth[code]))
+                    work.append(int(code))
+        if maxd * (WIDTH - 1) > STACK_DEPTH:
+            raise ValueError(
+                f"wide-BVH depth {maxd} needs {maxd * (WIDTH - 1)} stack "
+                f"slots > STACK_DEPTH={STACK_DEPTH}; deepen LEAF_CAP or "
+                "raise STACK_DEPTH"
+            )
 
     return nodes, leaf_tris, leaf_face

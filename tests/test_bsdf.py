@@ -76,6 +76,29 @@ def test_diffuse_twosided():
     assert float(jnp.mean(bs.wo[:, 2] < 0)) > 0.999
 
 
+def test_twosided_ref_does_not_mutate_shared_bsdf():
+    """twosided over a ref must copy the named row, not flip it in place
+    (ADVICE round 1: shapes sharing the named BSDF silently became
+    two-sided)."""
+    d = {
+        "type": "scene",
+        "sensor": {"type": "perspective", "fov": 45.0},
+        "shared_mat": {"type": "diffuse", "reflectance": [0.6, 0.6, 0.6]},
+        "a": {"type": "rectangle", "bsdf": {"type": "ref", "id": "shared_mat"}},
+        "b": {
+            "type": "rectangle",
+            "bsdf": {"type": "twosided", "bsdf": {"type": "ref", "id": "shared_mat"}},
+        },
+    }
+    scene = load_dict(d)[0]
+    two = np.asarray(scene.materials.twosided)
+    # two distinct rows: the shared one stays one-sided
+    assert two.sum() == 1, two
+    # shape "a" still references the one-sided row
+    mats = np.asarray(scene.geometry.face_mat)
+    assert not two[mats[0]]
+
+
 def _density_check(scene, wi, atol=0.02):
     """Histogram of sampled cos-theta bins vs MC integral of pdf per bin."""
     si = _si_with_wi(N, wi)
