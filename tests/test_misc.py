@@ -199,3 +199,46 @@ def test_xml_scene_level_emitter(tmp_path):
     )
     assert scene.emitters.env_map.shape == (1, 1, 3)
     assert float(scene.emitters.env_select_p) == 0.0  # constant: not NEE'd
+
+
+def test_nrc_online_trainer_learns_cache():
+    """VERDICT r1 #6: NRCTrainer trains the cache online from unbiased path
+    suffixes; loss decreases and the trained cache closes the truncation
+    gap of a short-segment NRC render."""
+    from mitsuba3_experiments_tpu.integrators.nrc import NRCTrainer
+    from mitsuba3_experiments_tpu.models import FieldConfig, HashGridConfig
+
+    scene, _ = load_dict(cornell_box(res=24, spp=1))
+    trainer = NRCTrainer(
+        field_cfg=FieldConfig(
+            grid=HashGridConfig(n_levels=4, log2_table_size=12,
+                                base_resolution=4, finest_resolution=64),
+            width=32, depth=3,
+        ),
+        batch_size=1 << 10, lr=2e-3, spread_c=1e-6, max_depth=3,
+        train_depth=8, train_spread_mult=1e5,
+    )
+    params, losses = trainer.train(scene, n_iters=250, seed=0)
+    head = np.mean(losses[:50])
+    tail = np.mean(losses[-50:])
+    assert np.isfinite(losses).all()
+    assert tail < 0.7 * head, (head, tail)
+
+    ref = np.asarray(
+        render(scene, PathIntegrator(max_depth=8, rr_depth=9), spp=32, seed=2)
+    )
+    img_trunc = np.asarray(
+        render(scene, NRCIntegrator(max_depth=3, spread_c=1e-6), spp=32,
+               seed=2)
+    )
+    img_cache = np.asarray(
+        render(
+            scene,
+            NRCIntegrator(max_depth=3, spread_c=1e-6,
+                          cache=(params, trainer)),
+            spp=32, seed=2,
+        )
+    )
+    gap_trunc = abs(ref.mean() - img_trunc.mean())
+    gap_cache = abs(ref.mean() - img_cache.mean())
+    assert gap_cache < gap_trunc, (gap_cache, gap_trunc)
