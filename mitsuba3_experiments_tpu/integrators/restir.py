@@ -134,7 +134,11 @@ class RestirGI:
     dist_threshold: float = 0.1
     angle_threshold: float = 25.0 * 3.14159265 / 180.0
     n_spatial_taps: int = 9  # 9 in the reference loop (restirgi.py:301)
-    include_self_tap: bool = True  # see spatial_resampling tap 0
+    # Reference behavior (restirgi.py:301-307) taps only random neighbors;
+    # the guaranteed self-tap (spatial_resampling tap 0) is this repo's
+    # documented improvement for low-res similarity-gate starvation.  Off by
+    # default so A/B parity runs match the reference; enable explicitly.
+    include_self_tap: bool = False
 
     # ------------------------------------------------------------------
     def init_state(self, scene) -> RestirState:
