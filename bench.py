@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Benchmark: rays/s/chip for path-MIS forward on the flagship bedroom-class
-scene (BASELINE.md primary metric).
+"""Benchmark: rays/s/chip for path-MIS forward AND forward+backward on the
+flagship bedroom-class scene (BASELINE.md primary metric is fwd+bwd).
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+with the companion number under "extra".
 
 The axon remote compiler's latency explodes with lane count and can exceed
 any reasonable deadline on a cold cache, so the bench is a *ladder*: each
@@ -75,6 +76,30 @@ def main():
     }))
 
 
+def _history_load():
+    path = os.path.join(REPO, "bench_history.json")
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                h = json.load(f)
+            # migrate the round-1 flat schema {"rays_per_s": ...,
+            # "config": {...}} to the config-keyed schema (VERDICT r1 #10:
+            # ladder fallbacks must not compare across configs)
+            if "rays_per_s" in h and "config" in h:
+                key = _cfg_key(h["config"])
+                h = {key: {"fwd": h["rays_per_s"]}}
+            return h
+        except Exception:
+            return {}
+    return {}
+
+
+def _cfg_key(cfg):
+    return (
+        f"{cfg['res']}-spp{cfg['spp']}-d{cfg['depth']}-t{cfg['tris']}"
+    )
+
+
 def worker(cfg):
     import jax
 
@@ -82,6 +107,8 @@ def worker(cfg):
         "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from functools import partial
+
     import jax.numpy as jnp
 
     from mitsuba3_experiments_tpu.integrators import (
@@ -90,6 +117,7 @@ def worker(cfg):
     )
     from mitsuba3_experiments_tpu.render import film as filmlib
     from mitsuba3_experiments_tpu.scene.flagship import load_flagship
+    from mitsuba3_experiments_tpu.scene.params import traverse, update
 
     w, h = (int(x) for x in cfg["res"].split("x"))
     spp, depth, tris = cfg["spp"], cfg["depth"], cfg["tris"]
@@ -105,7 +133,7 @@ def worker(cfg):
         lane_offset=jnp.uint32(0),
     )
     film.block_until_ready()
-    print("# compile done", flush=True)
+    print("# fwd compile done", flush=True)
 
     iters = max(spp, 2)
     t0 = time.perf_counter()
@@ -119,30 +147,76 @@ def worker(cfg):
     film.block_until_ready()
     dt = time.perf_counter() - t0
     rays_per_s = (n * iters) / dt
+    print(f"# fwd {rays_per_s:.0f} rays/s", flush=True)
 
-    history_path = os.path.join(REPO, "bench_history.json")
-    baseline = None
-    if os.path.exists(history_path):
-        try:
-            with open(history_path) as f:
-                baseline = json.load(f).get("rays_per_s")
-        except Exception:
-            baseline = None
-    vs = rays_per_s / baseline if baseline else 1.0
-    with open(history_path, "w") as f:
-        json.dump(
-            {"rays_per_s": rays_per_s, "config": cfg,
-             "device": str(jax.devices()[0]), "time_s": dt},
-            f,
-        )
+    # ---------------- forward+backward (BASELINE primary) ----------------
+    # Differentiable render of a chunk + per-pixel MSE against a target,
+    # gradients wrt material base_color and emitter radiance — the adjoint
+    # workload of BASELINE.md ("rays/s/chip, path-MIS forward+backward").
+    target = filmlib.develop(film)
+    integ_d = PathIntegrator(max_depth=depth, rr_depth=4,
+                             differentiable=True)
+    diff_params = {
+        "materials.base_color": scene.materials.base_color,
+        "emitters.radiance": scene.emitters.radiance,
+    }
+
+    @partial(jax.jit, static_argnames=("chunk_",))
+    def grad_chunk(params, seed, pass_idx, lane_offset, target, *,
+                   chunk_: int):
+        def loss(p):
+            s = update(scene, p)
+            f0 = filmlib.new_film(w, h)
+            f0 = render_pass(
+                s, integ_d, seed, pass_idx, f0, spp_per_pass=1,
+                rfilter="box", chunk=chunk_,
+                lane_offset=lane_offset,
+            )
+            img = filmlib.develop(f0)
+            msk = (f0[..., 3] > 0.0)[..., None]
+            return jnp.sum(jnp.where(msk, (img - target) ** 2, 0.0))
+
+        return jax.grad(loss)(params)
+
+    g = grad_chunk(diff_params, jnp.uint32(0), jnp.uint32(0),
+                   jnp.uint32(0), target, chunk_=chunk)
+    jax.block_until_ready(g)
+    print("# fwd+bwd compile done", flush=True)
+
+    bwd_iters = max(1, iters // 2)
+    acc = g
+    t0 = time.perf_counter()
+    for i in range(bwd_iters):
+        for off in range(0, n, chunk):
+            g = grad_chunk(
+                diff_params, jnp.uint32(1), jnp.uint32(i),
+                jnp.uint32(off), target, chunk_=chunk,
+            )
+            acc = jax.tree_util.tree_map(jnp.add, acc, g)
+    jax.block_until_ready(acc)
+    dt_b = time.perf_counter() - t0
+    fwdbwd_rays_per_s = (n * bwd_iters) / dt_b
+    print(f"# fwd+bwd {fwdbwd_rays_per_s:.0f} rays/s", flush=True)
+
+    key = _cfg_key(cfg)
+    hist = _history_load()
+    prev = hist.get(key, {})
+    vs = fwdbwd_rays_per_s / prev["fwd_bwd"] if prev.get("fwd_bwd") else 1.0
+    hist[key] = {
+        "fwd": rays_per_s, "fwd_bwd": fwdbwd_rays_per_s,
+        "chunk": chunk, "device": str(jax.devices()[0]),
+    }
+    with open(os.path.join(REPO, "bench_history.json"), "w") as f:
+        json.dump(hist, f, indent=1)
     print(json.dumps({
         "metric": (
-            f"camera rays/s/chip (path-MIS fwd, bedroom-class {cfg['res']} "
-            f"depth={depth}, {tris} tris)"
+            f"camera rays/s/chip (path-MIS fwd+bwd, bedroom-class "
+            f"{cfg['res']} depth={depth}, {tris} tris)"
         ),
-        "value": round(rays_per_s, 1),
+        "value": round(fwdbwd_rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs, 4),
+        "extra": {"fwd_rays_per_s": round(rays_per_s, 1)},
     }))
 
 
