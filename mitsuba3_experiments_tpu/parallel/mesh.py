@@ -59,15 +59,19 @@ def _trace_lanes(scene, integrator, seed, pass_idx, lane, spp_per_pass,
 
 @partial(
     jax.jit,
-    static_argnames=("integrator", "spp_per_pass", "rfilter", "mesh"),
+    static_argnames=("integrator", "spp_per_pass", "rfilter", "mesh",
+                     "n_launch"),
 )
 def _render_pass_sharded(scene, integrator, seed, pass_idx,
-                         spp_per_pass: int, rfilter: str, mesh: Mesh):
+                         spp_per_pass: int, rfilter: str, mesh: Mesh,
+                         lane_offset=0, n_launch: int | None = None):
     w, h = scene.camera.resolution
     n = w * h * spp_per_pass
     ndev = mesh.shape["dp"]
-    n_pad = ((n + ndev - 1) // ndev) * ndev
-    lanes = jnp.arange(n_pad, dtype=jnp.uint32)
+    n_pad = n_launch if n_launch is not None else (
+        ((n + ndev - 1) // ndev) * ndev
+    )
+    lanes = jnp.uint32(lane_offset) + jnp.arange(n_pad, dtype=jnp.uint32)
     # lanes beyond n wrap; they re-trace lane 0 but splat weight is divided
     # out by develop, so padding only costs compute, not bias
     lanes = jnp.where(lanes < n, lanes, jnp.uint32(0))
@@ -93,19 +97,39 @@ def _render_pass_sharded(scene, integrator, seed, pass_idx,
 
 def render_sharded(scene, integrator, mesh: Mesh, seed: int = 0,
                    spp: int = 16, rfilter: str = "box",
-                   spp_per_pass: int | None = None):
-    """Multi-device render: wavefront sharded over mesh axis "dp"."""
+                   spp_per_pass: int | None = None,
+                   chunk: int | None = None):
+    """Multi-device render: wavefront sharded over mesh axis "dp".
+
+    `chunk` bounds the per-DEVICE lanes per launch: each shard_map launch
+    traces chunk*ndev lanes and the host loops over lane offsets.  This is
+    the multi-chip composition of the single-chip chunked render (the axon
+    remote compiler's latency explodes with per-program lane count, so
+    whole-wavefront per-device programs are uncompilable at flagship sizes
+    — BENCH.md; same chunk ladder, now per device).
+    """
     w, h = scene.camera.resolution
     if spp_per_pass is None:
         spp_per_pass = max(1, min(spp, (1 << 21) // max(w * h, 1)))
     while spp % spp_per_pass:
         spp_per_pass -= 1
+    ndev = mesh.shape["dp"]
+    n = w * h * spp_per_pass
     film = filmlib.new_film(w, h)
     for p in range(spp // spp_per_pass):
-        film = film + _render_pass_sharded(
-            scene, integrator, jnp.uint32(seed), jnp.uint32(p),
-            spp_per_pass, rfilter, mesh,
-        )
+        if chunk is None:
+            film = film + _render_pass_sharded(
+                scene, integrator, jnp.uint32(seed), jnp.uint32(p),
+                spp_per_pass, rfilter, mesh,
+            )
+        else:
+            n_launch = chunk * ndev
+            for off in range(0, n, n_launch):
+                film = film + _render_pass_sharded(
+                    scene, integrator, jnp.uint32(seed), jnp.uint32(p),
+                    spp_per_pass, rfilter, mesh,
+                    lane_offset=jnp.uint32(off), n_launch=n_launch,
+                )
     return filmlib.develop(film)
 
 
