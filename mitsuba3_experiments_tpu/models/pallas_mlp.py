@@ -96,3 +96,46 @@ def mlp_params_flat(params):
     for layer in params:
         flat += [layer["w"], layer["b"]]
     return tuple(flat)
+
+
+def default_interpret() -> bool:
+    """Pallas interpret mode off only on a real TPU backend."""
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend at all
+        return True
+    return plat not in ("tpu", "axon")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_apply_mlp(params, x, hidden_act: str = "leaky_relu",
+                    tile: int = 512, interpret: bool = False):
+    """Drop-in differentiable replacement for models/mlp.py::apply_mlp
+    (out_act="none"): Pallas-fused forward, XLA-VJP backward.
+
+    The forward keeps all layer activations in VMEM (one kernel, VERDICT r1
+    #5); the backward rematerializes through the XLA layer-by-layer path,
+    whose math is bit-identical (same bf16-cast-at-dot, fp32-activation
+    discipline), so gradients equal jax.grad of apply_mlp exactly.
+    """
+    sizes = tuple([params[0]["w"].shape[0]] + [l["w"].shape[1] for l in params])
+    return fused_mlp_forward(
+        mlp_params_flat(params), x, sizes, hidden_act, tile, interpret
+    )
+
+
+def _fused_fwd(params, x, hidden_act, tile, interpret):
+    return fused_apply_mlp(params, x, hidden_act, tile, interpret), (params, x)
+
+
+def _fused_bwd(hidden_act, tile, interpret, res, g):
+    from .mlp import apply_mlp
+
+    params, x = res
+    _, vjp = jax.vjp(
+        lambda p, xx: apply_mlp(p, xx, hidden_act=hidden_act), params, x
+    )
+    return vjp(g)
+
+
+fused_apply_mlp.defvjp(_fused_fwd, _fused_bwd)
