@@ -105,13 +105,8 @@ def _rand(seed, idx, dim_vec, n_draw: int):
     return outs[0] if n_draw == 1 else jnp.stack(outs, axis=-1)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("spp", "n_total"),
-    donate_argnums=(1, 2),
-)
-def _refill(scene: Scene, st: WavefrontState, film, next_ray,
-            seed, *, spp: int, n_total: int):
+def _refill_impl(scene: Scene, st: WavefrontState, film, next_ray,
+                 seed, *, spp: int, n_total: int):
     """Replace dead lanes with fresh camera rays from the global stream.
 
     Dead lanes are ranked by an exclusive prefix sum; rank r takes ray index
@@ -158,8 +153,7 @@ def _refill(scene: Scene, st: WavefrontState, film, next_ray,
     return st, film, next_ray + jnp.sum(take.astype(jnp.uint32))
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _sort_state(st: WavefrontState):
+def _sort_impl(st: WavefrontState):
     """Coherence sort of the resident wavefront.
 
     Key (major to minor): dead lanes last, surface depth, direction octant —
@@ -182,14 +176,9 @@ def _sort_state(st: WavefrontState):
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("max_depth", "rr_depth", "rfilter", "chunk"),
-    donate_argnums=(1, 2),
-)
-def _bounce(scene: Scene, st: WavefrontState, film, seed, *,
-            max_depth: int, rr_depth: int, rfilter: str,
-            chunk: int | None = None, offset=0):
+def _bounce_impl(scene: Scene, st: WavefrontState, film, seed, *,
+                 max_depth: int, rr_depth: int, rfilter: str,
+                 chunk: int | None = None, offset=0):
     """Advance `chunk` lanes (all by default) by exactly one bounce.
 
     trace -> emission MIS (vs cached prev bounce pdf, path-mis.py:44-47)
@@ -295,6 +284,74 @@ def _bounce(scene: Scene, st: WavefrontState, film, seed, *,
     return st, film
 
 
+# thin jitted wrappers for the individual stages (kept for the per-stage
+# launch mode and unit tests)
+_refill = partial(jax.jit, static_argnames=("spp", "n_total"),
+                  donate_argnums=(1, 2))(_refill_impl)
+_sort_state = partial(jax.jit, donate_argnums=(0,))(_sort_impl)
+_bounce = partial(
+    jax.jit, static_argnames=("max_depth", "rr_depth", "rfilter", "chunk"),
+    donate_argnums=(1, 2),
+)(_bounce_impl)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spp", "n_total", "max_depth", "rr_depth", "rfilter", "chunk",
+        "sort", "n_rounds",
+    ),
+    donate_argnums=(1, 2, 3),
+)
+def _run_rounds(scene: Scene, st: WavefrontState, film, next_ray, seed, *,
+                spp: int, n_total: int, max_depth: int, rr_depth: int,
+                rfilter: str, chunk: int | None, sort: bool, n_rounds: int):
+    """n_rounds fused rounds in ONE dispatch: (sort ->) refill -> bounce
+    over all chunks, scanned on device.
+
+    The per-stage mode costs ~4-7 host dispatches per round; on the axon
+    tunnel each dispatch is ~50 ms (scripts/dispatch_bench.py), which at
+    ~32k lanes/round dwarfs the actual trace time.  Fusing a round into one
+    program and scanning n_rounds of them cuts dispatch overhead by
+    n_rounds x dispatches-per-round.  n_rounds is bounded by the axon
+    execution watchdog (~60 s per dispatch, BENCH.md): keep the product
+    n_rounds x round-time safely under it.
+
+    Exhausted wavefronts make every stage a no-op (refill takes nothing,
+    the traversal while_loop exits on entry, dead lanes splat nothing), so
+    overshooting the needed round count is cheap and bias-free.
+    """
+    kw = dict(max_depth=max_depth, rr_depth=rr_depth, rfilter=rfilter)
+    n_lanes = st.alive.shape[0]
+
+    def one_round(carry, _):
+        st, film, next_ray = carry
+        if sort:
+            st = _sort_impl(st)
+        st, film, next_ray = _refill_impl(
+            scene, st, film, next_ray, seed, spp=spp, n_total=n_total
+        )
+        if chunk is None:
+            st, film = _bounce_impl(scene, st, film, seed, **kw)
+        else:
+            def chunk_body(i, sf):
+                st, film = sf
+                return _bounce_impl(
+                    scene, st, film, seed, chunk=chunk, offset=i * chunk,
+                    **kw,
+                )
+
+            st, film = jax.lax.fori_loop(
+                0, n_lanes // chunk, chunk_body, (st, film)
+            )
+        return (st, film, next_ray), None
+
+    (st, film, next_ray), _ = jax.lax.scan(
+        one_round, (st, film, next_ray), None, length=n_rounds
+    )
+    return st, film, next_ray
+
+
 @jax.jit
 def _poll(st: WavefrontState, next_ray):
     return jnp.sum(st.alive.astype(jnp.int32)), next_ray
@@ -304,7 +361,7 @@ def render_wavefront(scene: Scene, seed: int = 0, spp: int = 16,
                      max_depth: int = 16, rr_depth: int = 4,
                      rfilter: str = "box", n_lanes: int = 32768,
                      chunk: int | None = None, sort_every: int = 1,
-                     poll_every: int = 24):
+                     poll_every: int = 24, rounds_per_launch: int = 1):
     """Full-frame render with a persistent, regenerating wavefront.
 
     n_lanes resident lanes advance one bounce per round; dead lanes refill
@@ -312,9 +369,10 @@ def render_wavefront(scene: Scene, seed: int = 0, spp: int = 16,
     bounce into fixed-size sub-launches (compile-size control + coherence
     payoff when `sort_every` > 0 re-sorts the resident state — sorting puts
     fresh camera rays in one contiguous coherent block and groups survivors
-    by depth/octant).  The loop only reads device state every `poll_every`
-    rounds: an axon host round trip costs ~50 ms (scripts/dispatch_bench.py),
-    so per-round syncs would dominate the whole render.
+    by depth/octant).  `rounds_per_launch` > 1 fuses that many rounds into
+    one device dispatch via lax.scan (_run_rounds) — the host only syncs a
+    cursor poll between launches.  With rounds_per_launch == 1 the stages
+    launch individually (useful for debugging / stage timing).
     """
     w, h = scene.camera.resolution
     n_total = w * h * spp
@@ -329,6 +387,22 @@ def render_wavefront(scene: Scene, seed: int = 0, spp: int = 16,
     next_ray = jnp.zeros((), jnp.uint32)
     rounds = 0
     kw = dict(max_depth=max_depth, rr_depth=rr_depth, rfilter=rfilter)
+
+    if rounds_per_launch > 1:
+        if sort_every not in (0, 1):
+            raise ValueError(
+                "fused mode supports sort_every in {0, 1} only"
+            )
+        while True:
+            st, film, next_ray = _run_rounds(
+                scene, st, film, next_ray, seed_u,
+                spp=spp, n_total=n_total, chunk=chunk,
+                sort=bool(sort_every), n_rounds=rounds_per_launch, **kw,
+            )
+            n_alive, cursor = jax.device_get(_poll(st, next_ray))
+            if int(cursor) >= n_total and int(n_alive) == 0:
+                break
+        return filmlib.develop(film)
 
     # expected rounds if the wavefront stayed perfectly full; used to size
     # the first poll so typical renders sync only a handful of times

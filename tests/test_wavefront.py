@@ -97,3 +97,26 @@ def test_wavefront_tent_filter_matches(cornell):
                          n_lanes=1024, poll_every=2)
     )
     np.testing.assert_allclose(img, ref, atol=5e-4)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(n_lanes=2048, chunk=512, sort_every=1, rounds_per_launch=8),
+        dict(n_lanes=2048, chunk=None, sort_every=0, rounds_per_launch=4),
+    ],
+)
+def test_wavefront_fused_rounds_match(bvh_scene, kw):
+    """The scanned multi-round dispatch (_run_rounds) is the same program
+    as the per-stage loop — images must agree to float-accumulation noise."""
+    ref = np.asarray(
+        render_wavefront(
+            bvh_scene, spp=4, max_depth=5, poll_every=3,
+            n_lanes=kw["n_lanes"], chunk=kw["chunk"],
+            sort_every=kw["sort_every"],
+        )
+    )
+    img = np.asarray(
+        render_wavefront(bvh_scene, spp=4, max_depth=5, **kw)
+    )
+    np.testing.assert_allclose(img, ref, atol=5e-5)
