@@ -204,9 +204,14 @@ class BDPTIntegrator:
             maxt=dist * (1.0 - 1e-3),
         )
         # NOTE the reference (bdpt02.py:238) keeps lanes whose visibility ray
-        # *does* hit — it re-intersects to land exactly on s; we mirror that:
+        # *does* hit — it re-intersects to land exactly on s; we mirror that.
+        # The acceptance tolerance is RELATIVE to the connection distance
+        # (ADVICE r1: the reference's absolute 1e-2 silently breaks on
+        # large/small scene scales)
         si = ray_intersect(scene, shadow, conn_active)
-        hit_s = si.valid & (m.norm(si.p - s_p) < 1e-2)
+        hit_s = si.valid & (
+            m.norm(si.p - s_p) < 1e-2 * jnp.maximum(dist, 1e-3)
+        )
         active = conn_active & hit_s
 
         wo = si.to_local(s_vert.wi)

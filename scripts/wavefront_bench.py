@@ -41,6 +41,7 @@ for cfg in cfgs:
         n_lanes=cfg.get("n_lanes", 32768), chunk=cfg.get("chunk"),
         sort_every=cfg.get("sort_every", 0),
         poll_every=cfg.get("poll_every", 24),
+        rounds_per_launch=cfg.get("rpl", 1),
     )
     n_total = res[0] * res[1] * spp
     t0 = time.perf_counter()
