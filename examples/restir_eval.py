@@ -4,8 +4,12 @@ test-restir-spatial-spatial.py / test-restir-dynamic.py: run N frames per
 config pair, record per-frame bias / variance / MSE against a high-spp path
 reference, write curves to JSON and frame strips to PNG.
 
-Usage: python examples/restir_eval.py [mode] [frames] [res]
+Usage: python examples/restir_eval.py [mode] [frames] [res] [chunk]
   mode in {spatial, jacobian, spatial_spatial, dynamic}
+  chunk > 0 switches to banded render_frame_chunked launches — required on
+  the TPU for res >= 256 (the axon relay cannot compile whole-frame
+  programs past ~32k lanes, BENCH.md), and how the reference-scale 1024^2
+  runs (test-restir-spatial.py:11-17).
 """
 import dataclasses
 import json
@@ -24,6 +28,7 @@ from mitsuba3_experiments_tpu.utils import write_png
 mode = sys.argv[1] if len(sys.argv) > 1 else "spatial"
 n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 res = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
 CONFIG_PAIRS = {
     # test-restir-spatial.py:27-47: bias correction on/off
@@ -47,13 +52,20 @@ CONFIG_PAIRS = {
 
 scene, _ = load_dict(cornell_box(res=res, spp=1))
 print("reference render (256 spp path)...")
-ref = np.asarray(render(scene, PathIntegrator(max_depth=8, rr_depth=2), spp=256))
+ref = np.asarray(
+    render(scene, PathIntegrator(max_depth=8, rr_depth=2), spp=256,
+           chunk=chunk or None)
+)
 
 results = {}
 for ci, overrides in enumerate(CONFIG_PAIRS[mode]):
     integ = RestirGI(max_depth=8, rr_depth=2, **overrides)
     state = integ.init_state(scene)
-    frame_fn = jax.jit(lambda sc, st, s: integ.render_frame(sc, st, s))
+    if chunk:
+        def frame_fn(sc, st, s, integ=integ):
+            return integ.render_frame_chunked(sc, st, s, chunk=chunk)
+    else:
+        frame_fn = jax.jit(lambda sc, st, s: integ.render_frame(sc, st, s))
     bias, var, mse_curve = [], [], []
     cur_scene = scene
     for i in range(n_frames):

@@ -16,6 +16,7 @@ statically.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -193,19 +194,25 @@ class RestirGI:
         return S, si, emittance, sampler
 
     # ------------------------------------------------------------------
-    def temporal_resampling(self, scene, state, sampler, S):
-        """restirgi.py:365-410."""
+    def temporal_resampling(self, scene, prev_sample, temporal_prev,
+                            prev_to_world, frame, sampler, S):
+        """restirgi.py:365-410.
+
+        `prev_sample` is the FULL previous-frame sample buffer (gathered at
+        the reprojected pixel); `temporal_prev` / `S` are this chunk's lanes
+        (the reference reads the temporal reservoir at the current lane,
+        restirgi.py:388)."""
         w, h = scene.camera.resolution
         prev_cam = dataclasses.replace(
-            scene.camera, to_world=state.prev_to_world
+            scene.camera, to_world=prev_to_world
         )
         pos_prev, _, vis = sensorlib.sample_direction(prev_cam, S.x_v)
         idx = self.to_idx(pos_prev, w, h)
-        Sprev = tgather(state.prev_sample, idx)
-        valid = vis & self.similar(S, Sprev) & (state.frame > 0)
+        Sprev = tgather(prev_sample, idx)
+        valid = vis & self.similar(S, Sprev) & (frame > 0)
 
         zero_r = RestirReservoir.zeros(S.p_q.shape[0])
-        R = twhere(valid, state.temporal, zero_r)
+        R = twhere(valid, temporal_prev, zero_r)
 
         Rnew = zero_r
         phat_s = p_hat(S.L_o)
@@ -234,11 +241,16 @@ class RestirGI:
         return y * w + x
 
     # ------------------------------------------------------------------
-    def spatial_resampling(self, scene, state, sampler, S, temporal, pos_pix):
-        """restirgi.py:274-363 (9 unrolled taps, adaptive radius, bias Z)."""
+    def spatial_resampling(self, scene, S_full, temporal_full, spatial_prev,
+                           search_radius, sampler, S, pos_pix):
+        """restirgi.py:274-363 (9 unrolled taps, adaptive radius, bias Z).
+
+        Neighbor taps gather from the FULL current-frame buffers (`S_full`,
+        `temporal_full`); `spatial_prev`/`search_radius`/`S`/`pos_pix` are
+        this chunk's lanes."""
         w, h = scene.camera.resolution
         n = S.p_q.shape[0]
-        Rs = state.spatial
+        Rs = spatial_prev
         Rnew = RestirReservoir.zeros(n)
         Z = jnp.zeros((n,), jnp.uint32)
 
@@ -273,13 +285,13 @@ class RestirGI:
                 active = jnp.asarray(s, jnp.int32) < max_iter
                 sampler, u2 = sampler.next_2d()
                 offset = warp.square_to_uniform_disk_concentric(u2) * (
-                    state.search_radius[:, None]
+                    search_radius[:, None]
                 )
             p = pos_pix + offset
             idx = self.to_idx(p, w, h)
-            qn = tgather(S, idx)
+            qn = tgather(S_full, idx)
             active &= self.similar(qn, S)
-            Rn = tgather(temporal, idx)
+            Rn = tgather(temporal_full, idx)
             Rn = twhere(active, Rn, RestirReservoir.zeros(n))
 
             # visibility of the neighbor's sample point from our visible point
@@ -312,7 +324,7 @@ class RestirGI:
                 0.0,
             )
         search_radius = jnp.maximum(
-            jnp.where(any_reused, state.search_radius, state.search_radius / 2),
+            jnp.where(any_reused, search_radius, search_radius / 2),
             self.minimal_search_radius,
         )
         M = Rnew.M
@@ -321,27 +333,42 @@ class RestirGI:
         return dataclasses.replace(Rnew, W=W, M=M), search_radius, sampler
 
     # ------------------------------------------------------------------
-    def render_frame(self, scene, state: RestirState, seed):
-        """One full ReSTIR frame (restirgi.py:182-259); returns (img, state')."""
-        w, h = scene.camera.resolution
-        n = w * h
-        pix = jnp.arange(n, dtype=jnp.uint32)
-        px = (pix % w).astype(m.Float)
-        py = (pix // w).astype(m.Float)
-        sampler = Sampler.create(seed, lane=pix)
+    # -------- per-chunk stage programs (pix = chunk of pixel lanes) ------
+    def stage_initial(self, scene, seed, pix):
+        px = (pix % scene.camera.resolution[0]).astype(m.Float)
+        py = (pix // scene.camera.resolution[0]).astype(m.Float)
+        sampler = Sampler.create(seed, lane=pix).fork(1)
         sampler, jitter = sampler.next_2d()
         pos_film = jnp.stack([px, py], axis=-1) + jitter
+        S, si_v, emittance, _ = self.sample_initial(scene, sampler, pos_film)
+        return S, si_v, emittance
+
+    def stage_temporal(self, scene, state_chunk_and_full, seed, pix, S):
+        prev_sample_full, temporal_prev, prev_to_world, frame = (
+            state_chunk_and_full
+        )
+        sampler = Sampler.create(seed, lane=pix).fork(2)
+        temporal, _ = self.temporal_resampling(
+            scene, prev_sample_full, temporal_prev, prev_to_world, frame,
+            sampler, S,
+        )
+        return temporal
+
+    def stage_spatial(self, scene, S_full, temporal_full, spatial_prev,
+                      search_radius, seed, pix, S):
+        w = scene.camera.resolution[0]
+        px = (pix % w).astype(m.Float)
+        py = (pix // w).astype(m.Float)
         pos_pix = jnp.stack([px, py], axis=-1)
+        sampler = Sampler.create(seed, lane=pix).fork(3)
+        return self.spatial_resampling(
+            scene, S_full, temporal_full, spatial_prev, search_radius,
+            sampler, S, pos_pix,
+        )[:2]
 
-        S, si_v, emittance, sampler = self.sample_initial(
-            scene, sampler, pos_film
-        )
-        temporal, sampler = self.temporal_resampling(scene, state, sampler, S)
-        spatial, search_radius, sampler = self.spatial_resampling(
-            scene, state, sampler, S, temporal, pos_pix
-        )
-
-        # final shading (restirgi.py:261-272)
+    @staticmethod
+    def stage_shade(scene, spatial, si_v, emittance):
+        """final shading (restirgi.py:261-272)"""
         R = spatial
         dir_to_s = m.normalize(R.z.x_s - si_v.p)
         f_val, _ = bsdflib.eval_pdf(
@@ -349,8 +376,95 @@ class RestirGI:
             si_v.valid,
         )
         result = f_val * R.z.L_o * R.W[:, None] + emittance
-        result = jnp.where(jnp.isfinite(result), result, 0.0)
-        img = result.reshape(h, w, 3)
+        return jnp.where(jnp.isfinite(result), result, 0.0)
+
+    def render_frame(self, scene, state: RestirState, seed):
+        """One full ReSTIR frame (restirgi.py:182-259); returns (img, state')."""
+        w, h = scene.camera.resolution
+        n = w * h
+        pix = jnp.arange(n, dtype=jnp.uint32)
+        S, si_v, emittance = self.stage_initial(scene, seed, pix)
+        temporal = self.stage_temporal(
+            scene,
+            (state.prev_sample, state.temporal, state.prev_to_world,
+             state.frame),
+            seed, pix, S,
+        )
+        spatial, search_radius = self.stage_spatial(
+            scene, S, temporal, state.spatial, state.search_radius,
+            seed, pix, S,
+        )
+        img = self.stage_shade(scene, spatial, si_v, emittance).reshape(
+            h, w, 3
+        )
+        new_state = RestirState(
+            temporal=temporal,
+            spatial=spatial,
+            search_radius=search_radius,
+            prev_sample=S,
+            prev_to_world=scene.camera.to_world,
+            frame=state.frame + 1,
+        )
+        return img, new_state
+
+    def render_frame_chunked(self, scene, state: RestirState, seed,
+                             chunk: int = 32768):
+        """Stage-banded frame for resolutions whose whole-frame program is
+        uncompilable through the axon relay (>~32k lanes, BENCH.md): each
+        stage runs as fixed-size pixel-band launches with full-frame buffers
+        as gather inputs, with host barriers between stages (the dr.eval
+        barriers of restirgi.py:232,236,238).  Stage RNG streams are keyed
+        by (pixel, stage), not by band, so both paths draw identical
+        samples and agree to XLA float-contraction noise."""
+        w, h = scene.camera.resolution
+        n = w * h
+        chunk = min(chunk, n)
+        seed = jnp.uint32(seed)
+
+        def bands(stage_fn):
+            outs = []
+            for off in range(0, n, chunk):
+                idx = jnp.arange(off, off + chunk, dtype=jnp.uint32)
+                idx = jnp.minimum(idx, jnp.uint32(n - 1))  # pad tail band
+                outs.append(stage_fn(idx, off))
+            return jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0)[:n], *outs
+            )
+
+        S, si_v, emittance = bands(
+            lambda idx, off: _stage_initial_jit(self, scene, seed, idx)
+        )
+
+        def pad_band(tree, off):
+            """slice [off, off+chunk) with tail clamped to the last lane"""
+            idx = jnp.minimum(
+                jnp.arange(off, off + chunk, dtype=jnp.uint32),
+                jnp.uint32(n - 1),
+            )
+            return tgather(tree, idx)
+
+        temporal = bands(
+            lambda idx, off: _stage_temporal_jit(
+                self, scene, state.prev_sample, pad_band(state.temporal, off),
+                state.prev_to_world, state.frame, seed, idx,
+                pad_band(S, off),
+            )
+        )
+
+        spatial, search_radius = bands(
+            lambda idx, off: _stage_spatial_jit(
+                self, scene, S, temporal, pad_band(state.spatial, off),
+                pad_band(state.search_radius, off), seed, idx,
+                pad_band(S, off),
+            )
+        )
+
+        img = bands(
+            lambda idx, off: _stage_shade_jit(
+                scene, pad_band(spatial, off), pad_band(si_v, off),
+                pad_band(emittance, off),
+            )
+        ).reshape(h, w, 3)
 
         new_state = RestirState(
             temporal=temporal,
@@ -361,6 +475,36 @@ class RestirGI:
             frame=state.frame + 1,
         )
         return img, new_state
+
+
+# stable module-level jitted stage programs for the chunked frame (a jit
+# created inside render_frame_chunked would retrace every frame)
+@partial(jax.jit, static_argnames=("integ",))
+def _stage_initial_jit(integ, scene, seed, pix):
+    return integ.stage_initial(scene, seed, pix)
+
+
+@partial(jax.jit, static_argnames=("integ",))
+def _stage_temporal_jit(integ, scene, prev_sample, temporal_prev,
+                        prev_to_world, frame, seed, pix, S):
+    return integ.stage_temporal(
+        scene, (prev_sample, temporal_prev, prev_to_world, frame), seed,
+        pix, S,
+    )
+
+
+@partial(jax.jit, static_argnames=("integ",))
+def _stage_spatial_jit(integ, scene, S_full, temporal_full, spatial_prev,
+                       search_radius, seed, pix, S):
+    return integ.stage_spatial(
+        scene, S_full, temporal_full, spatial_prev, search_radius, seed,
+        pix, S,
+    )
+
+
+@jax.jit
+def _stage_shade_jit(scene, spatial, si_v, emittance):
+    return RestirGI.stage_shade(scene, spatial, si_v, emittance)
 
 
 def _spawn_to(p, n_vec, target):

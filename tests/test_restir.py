@@ -103,3 +103,26 @@ def test_restir_dynamic_camera(box):
         )(scene, state, jnp.uint32(i))
         assert bool(jnp.all(jnp.isfinite(img)))
     assert int(state.frame) == 3
+
+
+def test_restir_chunked_frame_matches_whole_frame(box):
+    """render_frame_chunked == render_frame: stage RNG is keyed by
+    (pixel, stage), so pixel-band launches pick identical samples; only
+    XLA contraction order differs (different program shapes), so agreement
+    is to float noise.  The chunked path is how reference-scale
+    resolutions run through the axon compile wall."""
+    integ = RestirGI(max_depth=3, rr_depth=2, initial_search_radius=6.0)
+    state1 = integ.init_state(box)
+    state2 = integ.init_state(box)
+    for i in range(3):
+        img1, state1 = integ.render_frame(box, state1, jnp.uint32(i))
+        # 24x24 box -> 576 px; chunk 200 exercises the padded tail band
+        img2, state2 = integ.render_frame_chunked(
+            box, state2, jnp.uint32(i), chunk=200
+        )
+        np.testing.assert_allclose(
+            np.asarray(img2), np.asarray(img1), rtol=2e-3, atol=2e-4
+        )
+    np.testing.assert_allclose(
+        np.asarray(state2.search_radius), np.asarray(state1.search_radius)
+    )
