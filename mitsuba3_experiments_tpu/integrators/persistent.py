@@ -1,0 +1,477 @@
+"""Persistent-wavefront path tracer: incremental traversal, no lockstep max.
+
+Why this exists (measured, BENCH.md): on the axon TPU a traversal iteration's
+cost is dominated by its ~0.1-0.35 ms row gathers and is INDEPENDENT of lane
+count — so a `lax.while_loop` traversal launch costs (max iterations over
+all lanes) x c regardless of width, and one 300-iteration straggler idles
+every other lane.  Chunking shrinks the max (round 1: 768-lane launches won)
+but wastes the free lanes a big launch would give.
+
+This renderer removes the lockstep max instead of shrinking the launch: the
+BVH traversal is *incremental*.  Each round advances EVERY lane by at most
+`steps` traversal iterations (a fixed-trip fori_loop — gather cost K x c per
+round, full stop); lanes whose query completed transition through a small
+per-lane state machine:
+
+    P_TRACE  closest-hit of the path ray   -> shade: emission MIS, NEE
+             sample (pending contribution), BSDF sample, RR -> P_SHADOW
+    P_SHADOW any-hit of the NEE shadow ray -> resolve pending contribution,
+             continue with the stored next path ray (P_TRACE) or retire
+             (splat + refill as a fresh camera ray)
+
+Lanes at different traversal progress, phases, and path depths coexist in
+one launch; a straggler costs only its own iterations.  Masked-idle lanes
+are ~free in the gather-latency regime.  The whole round (stepper + both
+transitions + refill) is one program, scanned `rounds_per_launch` times per
+dispatch (same dispatch-amortization as wavefront._run_rounds).
+
+RNG dimensions are assigned per (camera ray, surface depth) exactly as
+`PathIntegrator.sample` / wavefront._bounce consume them, so estimates are
+ray-for-ray identical to `render()` (tested).
+
+Reference lineage: the wavefront formulation is SURVEY.md section 7's north
+star; the state-machine scheduling replaces OptiX's hardware scheduler
+(/root/reference/path.py:238,281 `scene.ray_intersect` inside megakernels).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core.records import BSDFFlags, Ray, has_flag
+from ..core.struct import jstruct
+from ..intersect.bvh_jax import _make_si
+from ..render import bsdf as bsdflib
+from ..render import film as filmlib
+from ..render import sensor as sensorlib
+from ..render.emitter import (
+    eval_emitter,
+    eval_environment,
+    pdf_emitter_direction,
+    pdf_environment_direction,
+    sample_emitter_direction,
+)
+from ..scene.bvh8 import STACK_DEPTH
+from ..scene.types import Scene
+from .common import mis_weight
+from .wavefront import _rand
+
+DONE = jnp.int32(-1)
+WIDTH = 8
+P_TRACE = 0
+P_SHADOW = 1
+
+
+@jstruct
+class PersistentState:
+    """Per-lane path + in-flight traversal state."""
+
+    # path state
+    L: jnp.ndarray          # (N, 3) accumulated radiance
+    f: jnp.ndarray          # (N, 3) throughput at the NEXT ray
+    eta: jnp.ndarray        # (N,)
+    depth: jnp.ndarray      # (N,) i32 depth of the surface being traced
+    prev_p: jnp.ndarray     # (N, 3) origin surface of the traced path ray
+    prev_pdf: jnp.ndarray   # (N,)
+    prev_delta: jnp.ndarray  # (N,) bool
+    idx: jnp.ndarray        # (N,) uint32 camera-ray index (RNG lane)
+    pos: jnp.ndarray        # (N, 2) film position
+    alive: jnp.ndarray      # (N,) bool
+    # pending (set at P_TRACE shading, consumed at P_SHADOW resolve)
+    nee_L: jnp.ndarray      # (N, 3) contribution if shadow ray unoccluded
+    next_o: jnp.ndarray     # (N, 3) next path ray
+    next_d: jnp.ndarray     # (N, 3)
+    cont: jnp.ndarray       # (N,) bool path continues after this surface
+    phase: jnp.ndarray      # (N,) i32
+    # in-flight traversal
+    tr_o: jnp.ndarray       # (N, 3) ray being traversed (path or shadow)
+    tr_d: jnp.ndarray       # (N, 3)
+    tr_cur: jnp.ndarray     # (N,) i32 node code (DONE = finished)
+    tr_sp: jnp.ndarray      # (N,) i32 stack pointer
+    tr_stack: jnp.ndarray   # (N * STACK_DEPTH,) i32
+    tr_t: jnp.ndarray       # (N,) best-hit t (init: maxt)
+    tr_face: jnp.ndarray    # (N,) i32 best face (-1 none)
+    tr_u: jnp.ndarray      # (N,)
+    tr_v: jnp.ndarray      # (N,)
+
+    @staticmethod
+    def empty(n: int):
+        z3 = lambda: jnp.zeros((n, 3), m.Float)  # noqa: E731
+        zi = lambda v=0: jnp.full((n,), v, jnp.int32)  # noqa: E731
+        zf = lambda v=0.0: jnp.full((n,), v, m.Float)  # noqa: E731
+        return PersistentState(
+            L=z3(), f=jnp.ones((n, 3), m.Float), eta=zf(1.0), depth=zi(1),
+            prev_p=z3(), prev_pdf=zf(1.0),
+            prev_delta=jnp.ones((n,), bool),
+            idx=jnp.zeros((n,), jnp.uint32), pos=jnp.zeros((n, 2), m.Float),
+            alive=jnp.zeros((n,), bool),
+            nee_L=z3(), next_o=z3(), next_d=z3(),
+            cont=jnp.zeros((n,), bool), phase=zi(P_TRACE),
+            tr_o=z3(), tr_d=z3(), tr_cur=zi(DONE), tr_sp=zi(0),
+            tr_stack=jnp.zeros((n * STACK_DEPTH,), jnp.int32),
+            tr_t=zf(0.0), tr_face=zi(-1), tr_u=zf(), tr_v=zf(),
+        )
+
+
+def _start_traversal(st: PersistentState, take, o, d, maxt):
+    """Arm the traversal fields for lanes in `take` (fresh query)."""
+    t3 = take[:, None]
+    return dataclasses.replace(st, 
+        tr_o=jnp.where(t3, o, st.tr_o),
+        tr_d=jnp.where(t3, d, st.tr_d),
+        tr_cur=jnp.where(take, jnp.int32(0), st.tr_cur),
+        tr_sp=jnp.where(take, 0, st.tr_sp),
+        tr_t=jnp.where(take, maxt, st.tr_t),
+        tr_face=jnp.where(take, -1, st.tr_face),
+        tr_u=jnp.where(take, 0.0, st.tr_u),
+        tr_v=jnp.where(take, 0.0, st.tr_v),
+    )
+
+
+def _trav_steps(scene: Scene, st: PersistentState, k: int):
+    """Advance every in-flight traversal by at most k iterations.
+
+    One fused stepper serves both phases: P_SHADOW lanes early-exit on any
+    hit (occlusion queries need no nearest ordering, but ordered pushes are
+    correct for them too, so the push logic is shared)."""
+    nodes = scene.bvh.nodes
+    leaf_tris = scene.bvh.leaf_tris
+    n = st.alive.shape[0]
+    lane_base = jnp.arange(n, dtype=jnp.int32) * STACK_DEPTH
+    ki = jnp.arange(WIDTH, dtype=jnp.int32)
+
+    o, d = st.tr_o, st.tr_d
+    inv_d = m.safe_div(jnp.ones((), m.Float), d, fill=jnp.inf)
+    any_hit = st.phase == P_SHADOW
+
+    def body(_, carry):
+        cur, sp, stack, t_best, face_best, u_best, v_best = carry
+        live = cur != DONE
+        is_int = cur >= 0
+        is_leaf = cur <= -2
+
+        row = jnp.take(nodes, jnp.where(is_int, cur, 0), axis=0)
+        codes = jax.lax.bitcast_convert_type(row[:, 0:8], jnp.int32)
+        bb = row[:, 8:56].reshape(n, WIDTH, 6)
+        t0 = (bb[:, :, 0:3] - o[:, None, :]) * inv_d[:, None, :]
+        t1 = (bb[:, :, 3:6] - o[:, None, :]) * inv_d[:, None, :]
+        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = (
+            (t_near <= t_far * 1.00000024) & (t_far > 0.0)
+            & (t_near < t_best[:, None]) & (codes != DONE)
+            & is_int[:, None]
+        )
+
+        t_sort = jnp.where(hit, t_near, jnp.inf)
+        k_near = jnp.argmin(t_sort, axis=-1)
+        any_child = jnp.any(hit, axis=-1)
+        onehot_near = ki[None, :] == k_near[:, None]
+        near_code = jnp.sum(jnp.where(onehot_near, codes, 0), axis=-1)
+
+        push_mask = hit & ~onehot_near
+        n_push = jnp.sum(push_mask, axis=-1).astype(jnp.int32)
+        tp = jnp.where(push_mask, t_near, -jnp.inf)
+        farther = (
+            (tp[:, None, :] > tp[:, :, None])
+            | ((tp[:, None, :] == tp[:, :, None])
+               & (ki[None, None, :] > ki[None, :, None]))
+        ) & push_mask[:, None, :]
+        rank_far = jnp.sum(farther, axis=-1).astype(jnp.int32)
+        push_pos = sp[:, None] + rank_far
+        flat_idx = jnp.where(
+            push_mask & (push_pos < STACK_DEPTH),
+            lane_base[:, None] + push_pos,
+            n * STACK_DEPTH,
+        )
+        stack = stack.at[flat_idx.reshape(-1)].set(
+            codes.reshape(-1), mode="drop"
+        )
+
+        leaf_id = jnp.where(is_leaf, -cur - 2, 0)
+        trow = jnp.take(leaf_tris, leaf_id, axis=0)
+        frow = jax.lax.bitcast_convert_type(trow[:, 80:88], jnp.int32)
+        for kk in range(WIDTH):
+            g9 = trow[:, 9 * kk : 9 * kk + 9]
+            v0 = g9[:, 0:3]
+            e1 = g9[:, 3:6] - v0
+            e2 = g9[:, 6:9] - v0
+            pvec = m.cross(d, e2)
+            det = m.dot(e1, pvec)
+            inv_det = m.safe_div(jnp.ones((), det.dtype), det)
+            tvec = o - v0
+            uu = m.dot(tvec, pvec) * inv_det
+            qvec = m.cross(tvec, e1)
+            vv = m.dot(d, qvec) * inv_det
+            tt = m.dot(e2, qvec) * inv_det
+            h = (
+                (jnp.abs(det) > 1e-10)
+                & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                & (tt > 0.0) & (tt < t_best)
+            )
+            ok = is_leaf & h & (frow[:, kk] >= 0)
+            t_best = jnp.where(ok, tt, t_best)
+            face_best = jnp.where(ok, frow[:, kk], face_best)
+            u_best = jnp.where(ok, uu, u_best)
+            v_best = jnp.where(ok, vv, v_best)
+
+        early_done = any_hit & is_leaf & (face_best >= 0)
+
+        descend = is_int & any_child
+        sp_new = jnp.where(
+            descend, jnp.minimum(sp + n_push, STACK_DEPTH), sp
+        )
+        want_pop = live & ~early_done & ~descend
+        top = jnp.take(
+            stack, lane_base + jnp.clip(sp_new - 1, 0, STACK_DEPTH - 1)
+        )
+        popped = jnp.where(sp_new > 0, top, DONE)
+        nxt = jnp.where(
+            descend, near_code, jnp.where(want_pop, popped, DONE)
+        )
+        nxt = jnp.where(live & ~early_done, nxt, DONE)
+        sp_new = jnp.where(want_pop & (sp_new > 0), sp_new - 1, sp_new)
+        sp_new = jnp.where(nxt == DONE, 0, sp_new)
+        return (nxt, sp_new, stack, t_best, face_best, u_best, v_best)
+
+    cur, sp, stack, t, face, u, v = jax.lax.fori_loop(
+        0, k, body,
+        (st.tr_cur, st.tr_sp, st.tr_stack, st.tr_t, st.tr_face,
+         st.tr_u, st.tr_v),
+    )
+    return dataclasses.replace(st, 
+        tr_cur=cur, tr_sp=sp, tr_stack=stack, tr_t=t, tr_face=face,
+        tr_u=u, tr_v=v,
+    )
+
+
+def _transition_shadow(scene: Scene, st: PersistentState, film, *,
+                       rfilter: str):
+    """P_SHADOW lanes whose any-hit finished: resolve NEE, advance or
+    retire (+ splat)."""
+    doneB = st.alive & (st.phase == P_SHADOW) & (st.tr_cur == DONE)
+    occluded = st.tr_face >= 0
+    L = st.L + jnp.where((doneB & ~occluded)[:, None], st.nee_L, 0.0)
+
+    retire = doneB & ~st.cont
+    film = filmlib.put(
+        film, st.pos, jnp.where(jnp.isfinite(L), L, 0.0),
+        active=retire, rfilter=rfilter,
+    )
+
+    advance = doneB & st.cont
+    st = dataclasses.replace(st, 
+        L=jnp.where(doneB[:, None], L, st.L),
+        alive=st.alive & ~retire,
+        phase=jnp.where(advance, P_TRACE, st.phase),
+        nee_L=jnp.where(doneB[:, None], 0.0, st.nee_L),
+    )
+    st = _start_traversal(
+        st, advance, st.next_o, st.next_d, jnp.full_like(st.tr_t, jnp.inf)
+    )
+    return st, film
+
+
+def _transition_trace(scene: Scene, st: PersistentState, seed, *,
+                      max_depth: int, rr_depth: int):
+    """P_TRACE lanes whose closest-hit finished: shade the surface exactly
+    as wavefront._bounce (emission MIS -> NEE sample -> BSDF sample -> RR),
+    leaving the shadow query armed and the next ray pending."""
+    doneA = st.alive & (st.phase == P_TRACE) & (st.tr_cur == DONE)
+    mats, tex = scene.materials, scene.textures
+
+    ray = Ray.make(st.tr_o, st.tr_d)
+    t_out = jnp.where(st.tr_face >= 0, st.tr_t, jnp.inf)
+    si = _make_si(scene, ray, t_out, st.tr_face, st.tr_u, st.tr_v)
+    hit = doneA & si.valid
+
+    # ---------------- emission at the hit (ray-first MIS) ----------------
+    ref = SimpleNamespace(p=st.prev_p)
+    gate = doneA & (st.prev_pdf > 0.0)
+    em_pdf = pdf_emitter_direction(scene, ref, si, gate & ~st.prev_delta)
+    mis_hit = jnp.where(st.prev_delta, 1.0, mis_weight(st.prev_pdf, em_pdf))
+    L = st.L + jnp.where(
+        (gate & hit)[:, None],
+        st.f * eval_emitter(scene, si, hit) * mis_hit[:, None], 0.0,
+    )
+    esc = doneA & ~si.valid & (st.prev_pdf > 0.0)
+    env_pdf = pdf_environment_direction(scene, st.tr_d, esc & ~st.prev_delta)
+    mis_env = jnp.where(st.prev_delta, 1.0, mis_weight(st.prev_pdf, env_pdf))
+    L = L + jnp.where(
+        esc[:, None],
+        st.f * eval_environment(scene, esc, st.tr_d) * mis_env[:, None], 0.0,
+    )
+
+    # ------------------------- NEE at the surface ------------------------
+    cont = hit & (st.depth < max_depth)
+    base = jnp.uint32(2) + jnp.uint32(6) * (st.depth - 1).astype(jnp.uint32)
+    flags = bsdflib.bsdf_flags(mats, si.mat_id)
+    active_em = cont & has_flag(flags, BSDFFlags.Smooth)
+
+    u_em = _rand(seed, st.idx, base, 2)
+    ds, em_weight = sample_emitter_direction(
+        scene, si, u_em, False, active_em
+    )
+    active_em &= ds.pdf != 0.0
+    wo = si.to_local(ds.d)
+
+    u1 = _rand(seed, st.idx, base + jnp.uint32(2), 1)
+    u2 = _rand(seed, st.idx, base + jnp.uint32(3), 2)
+    bsdf_val, bsdf_pdf, bs, bsdf_weight = bsdflib.eval_pdf_sample(
+        mats, tex, si, wo, u1, u2, cont
+    )
+    mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
+    nee_L = jnp.where(
+        active_em[:, None],
+        st.f * bsdf_val * em_weight * mis_em[:, None], 0.0,
+    )
+
+    # ------------------- BSDF bounce + Russian roulette ------------------
+    f = st.f * bsdf_weight
+    eta = st.eta * bs.eta
+    fmax = m.max_component(f)
+    rr_prob = jnp.minimum(fmax * eta * eta, 0.95)
+    rr_active = st.depth >= rr_depth
+    u_rr = _rand(seed, st.idx, base + jnp.uint32(5), 1)
+    rr_continue = u_rr < rr_prob
+    f = jnp.where(
+        rr_active[:, None],
+        f * m.safe_rcp(jax.lax.stop_gradient(rr_prob))[:, None], f,
+    )
+    cont2 = cont & (fmax != 0.0) & (~rr_active | rr_continue)
+    ray2 = si.spawn_ray(si.to_world(bs.wo))
+
+    # --------------- commit for doneA lanes; arm shadow query ------------
+    d3 = doneA[:, None]
+    st = dataclasses.replace(st, 
+        L=jnp.where(d3, L, st.L),
+        f=jnp.where((doneA & cont2)[:, None], f, st.f),
+        eta=jnp.where(doneA & cont2, eta, st.eta),
+        depth=jnp.where(doneA & cont2, st.depth + 1, st.depth),
+        prev_p=jnp.where(d3, si.p, st.prev_p),
+        prev_pdf=jnp.where(doneA, bs.pdf, st.prev_pdf),
+        prev_delta=jnp.where(
+            doneA, has_flag(bs.sampled_type, BSDFFlags.Delta), st.prev_delta
+        ),
+        nee_L=jnp.where(d3, nee_L, st.nee_L),
+        next_o=jnp.where(d3, ray2.o, st.next_o),
+        next_d=jnp.where(d3, ray2.d, st.next_d),
+        cont=jnp.where(doneA, cont2, st.cont),
+        phase=jnp.where(doneA, P_SHADOW, st.phase),
+    )
+    shadow = si.spawn_ray_to(ds.p)
+    st = _start_traversal(st, doneA & active_em, shadow.o, shadow.d,
+                          shadow.maxt)
+    # lanes with no NEE query finish P_SHADOW trivially (tr_cur stays DONE,
+    # tr_face < 0 -> unoccluded but nee_L = 0)
+    st = dataclasses.replace(st, 
+        tr_face=jnp.where(doneA & ~active_em, -1, st.tr_face),
+        tr_cur=jnp.where(doneA & ~active_em, DONE, st.tr_cur),
+    )
+    return st
+
+
+def _refill_persistent(scene: Scene, st: PersistentState, next_ray, seed, *,
+                       spp: int, n_total: int):
+    """Dead lanes take fresh camera rays (prefix-sum ranked, fixed shapes;
+    same scheme as wavefront._refill_impl)."""
+    dead = ~st.alive
+    rank = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)
+    new_idx = next_ray + rank.astype(jnp.uint32)
+    take = dead & (new_idx < jnp.uint32(n_total))
+
+    w, h = scene.camera.resolution
+    pix = new_idx // jnp.uint32(spp)
+    px = (pix % jnp.uint32(w)).astype(m.Float)
+    py = (pix // jnp.uint32(w)).astype(m.Float)
+    jitter = _rand(seed, new_idx, jnp.zeros_like(new_idx), 2)
+    pos = jnp.stack([px, py], axis=-1) + jitter
+    ray = sensorlib.sample_ray(scene.camera, pos)
+
+    n = st.alive.shape[0]
+    t3 = take[:, None]
+    st = dataclasses.replace(st, 
+        L=jnp.where(t3, 0.0, st.L),
+        f=jnp.where(t3, 1.0, st.f),
+        eta=jnp.where(take, 1.0, st.eta),
+        depth=jnp.where(take, 1, st.depth),
+        prev_p=jnp.where(t3, ray.o, st.prev_p),
+        prev_pdf=jnp.where(take, 1.0, st.prev_pdf),
+        prev_delta=jnp.where(take, True, st.prev_delta),
+        idx=jnp.where(take, new_idx, st.idx),
+        pos=jnp.where(t3, pos, st.pos),
+        alive=st.alive | take,
+        nee_L=jnp.where(t3, 0.0, st.nee_L),
+        cont=jnp.where(take, False, st.cont),
+        phase=jnp.where(take, P_TRACE, st.phase),
+    )
+    st = _start_traversal(st, take, ray.o, ray.d,
+                          jnp.full((n,), jnp.inf, m.Float))
+    return st, next_ray + jnp.sum(take.astype(jnp.uint32))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spp", "n_total", "max_depth", "rr_depth", "rfilter",
+                     "steps", "n_rounds"),
+    donate_argnums=(1, 2, 3),
+)
+def _run_persistent(scene: Scene, st: PersistentState, film, next_ray,
+                    seed, *, spp: int, n_total: int, max_depth: int,
+                    rr_depth: int, rfilter: str, steps: int, n_rounds: int):
+    def one_round(carry, _):
+        st, film, next_ray = carry
+        st, film = _transition_shadow(scene, st, film, rfilter=rfilter)
+        st = _transition_trace(
+            scene, st, seed, max_depth=max_depth, rr_depth=rr_depth
+        )
+        st, next_ray = _refill_persistent(
+            scene, st, next_ray, seed, spp=spp, n_total=n_total
+        )
+        st = _trav_steps(scene, st, steps)
+        return (st, film, next_ray), None
+
+    (st, film, next_ray), _ = jax.lax.scan(
+        one_round, (st, film, next_ray), None, length=n_rounds
+    )
+    return st, film, next_ray
+
+
+@jax.jit
+def _poll(st: PersistentState, next_ray):
+    return jnp.sum(st.alive.astype(jnp.int32)), next_ray
+
+
+def render_persistent(scene: Scene, seed: int = 0, spp: int = 16,
+                      max_depth: int = 16, rr_depth: int = 4,
+                      rfilter: str = "box", n_lanes: int = 32768,
+                      steps: int = 16, rounds_per_launch: int = 8):
+    """Full-frame render with the persistent state-machine wavefront.
+
+    `steps` bounds traversal iterations per round; `rounds_per_launch`
+    rounds scan inside each dispatch (keep steps*rounds_per_launch's round
+    time under the ~60 s axon execution watchdog)."""
+    w, h = scene.camera.resolution
+    n_total = w * h * spp
+    n_lanes = min(n_lanes, n_total)
+
+    seed_u = jnp.uint32(seed)
+    film = filmlib.new_film(w, h)
+    st = PersistentState.empty(n_lanes)
+    next_ray = jnp.zeros((), jnp.uint32)
+    while True:
+        st, film, next_ray = _run_persistent(
+            scene, st, film, next_ray, seed_u,
+            spp=spp, n_total=n_total, max_depth=max_depth,
+            rr_depth=rr_depth, rfilter=rfilter, steps=steps,
+            n_rounds=rounds_per_launch,
+        )
+        n_alive, cursor = jax.device_get(_poll(st, next_ray))
+        if int(cursor) >= n_total and int(n_alive) == 0:
+            break
+    return filmlib.develop(film)

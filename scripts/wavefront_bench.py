@@ -18,6 +18,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 
+from mitsuba3_experiments_tpu.integrators.persistent import render_persistent
 from mitsuba3_experiments_tpu.integrators.wavefront import render_wavefront
 from mitsuba3_experiments_tpu.scene.flagship import load_flagship
 
@@ -36,20 +37,30 @@ for cfg in cfgs:
     if key not in _scene_cache:
         _scene_cache[key] = load_flagship(res=res, spp=spp, tri_budget=tris)[0]
     scene = _scene_cache[key]
-    kw = dict(
-        spp=spp, max_depth=depth, rfilter="tent",
-        n_lanes=cfg.get("n_lanes", 32768), chunk=cfg.get("chunk"),
-        sort_every=cfg.get("sort_every", 0),
-        poll_every=cfg.get("poll_every", 24),
-        rounds_per_launch=cfg.get("rpl", 1),
-    )
+    if cfg.get("mode") == "persistent":
+        kw = dict(
+            spp=spp, max_depth=depth, rfilter="tent",
+            n_lanes=cfg.get("n_lanes", 32768),
+            steps=cfg.get("steps", 16),
+            rounds_per_launch=cfg.get("rpl", 8),
+        )
+        renderer = render_persistent
+    else:
+        kw = dict(
+            spp=spp, max_depth=depth, rfilter="tent",
+            n_lanes=cfg.get("n_lanes", 32768), chunk=cfg.get("chunk"),
+            sort_every=cfg.get("sort_every", 0),
+            poll_every=cfg.get("poll_every", 24),
+            rounds_per_launch=cfg.get("rpl", 1),
+        )
+        renderer = render_wavefront
     n_total = res[0] * res[1] * spp
     t0 = time.perf_counter()
-    img = np.asarray(render_wavefront(scene, seed=1, **kw))
+    img = np.asarray(renderer(scene, seed=1, **kw))
     warm = time.perf_counter() - t0
     print(f"# warm(compile) {warm:.1f}s mean={img.mean():.4f}", flush=True)
     t0 = time.perf_counter()
-    img = np.asarray(render_wavefront(scene, seed=2, **kw))
+    img = np.asarray(renderer(scene, seed=2, **kw))
     dt = time.perf_counter() - t0
     print(json.dumps({
         "cfg": cfg, "time_s": round(dt, 2),

@@ -120,3 +120,44 @@ def test_wavefront_fused_rounds_match(bvh_scene, kw):
         render_wavefront(bvh_scene, spp=4, max_depth=5, **kw)
     )
     np.testing.assert_allclose(img, ref, atol=5e-5)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(n_lanes=2048, steps=8, rounds_per_launch=4),
+        dict(n_lanes=1024, steps=32, rounds_per_launch=2),
+    ],
+)
+def test_persistent_matches_render(bvh_scene, kw):
+    """The persistent state-machine renderer (incremental traversal)
+    reproduces render()'s estimates ray-for-ray: same RNG dimensions, same
+    MIS; only BVH-vs-brute float noise differs."""
+    from mitsuba3_experiments_tpu.integrators.persistent import (
+        render_persistent,
+    )
+
+    ref = np.asarray(
+        render(bvh_scene, PathIntegrator(max_depth=5), spp=4, spp_per_pass=4)
+    )
+    img = np.asarray(
+        render_persistent(bvh_scene, spp=4, max_depth=5, **kw)
+    )
+    assert ref.mean() > 1e-4
+    np.testing.assert_allclose(img, ref, atol=5e-5)
+
+
+def test_persistent_cornell_tent(cornell):
+    from mitsuba3_experiments_tpu.integrators.persistent import (
+        render_persistent,
+    )
+
+    ref = np.asarray(
+        render(cornell, PathIntegrator(max_depth=4), spp=4, spp_per_pass=4,
+               rfilter="tent")
+    )
+    img = np.asarray(
+        render_persistent(cornell, spp=4, max_depth=4, rfilter="tent",
+                          n_lanes=1024, steps=12, rounds_per_launch=3)
+    )
+    np.testing.assert_allclose(img, ref, atol=5e-4)
