@@ -18,13 +18,16 @@ Constraints that shape the design (measured/architectural, not stylistic):
 
   * Mosaic has no per-lane dynamic gather from HBM, so the tree must fit in
     VMEM: ~56 B/internal row + 320 B/leaf row -> scenes up to roughly 200k
-    triangles.  Bigger scenes stay on the XLA path (ray_intersect dispatches
-    by size); the A/B against it is scripts/pallas_trav_bench.py.
+    triangles.  Bigger scenes stay on the XLA path; the A/B against it is
+    scripts/pallas_trav_bench.py.
   * int32 child codes / face ids CANNOT ride the f32 matmul as bitcasts
     (small int32 bit patterns are f32 denormals and TPUs flush them): they
     are stored as exact float VALUES (< 2^24) and rounded back after gather.
-  * per-lane stacks are dense (tile, depth) arrays updated with one-hot
-    masks — no scatter inside the kernel.
+  * Mosaic's vector layouts are strictly 2-D: no (tile, 8, 6) bound
+    reshapes, no (tile, 8, 8) rank tensors, no 1-D lane vectors.  The
+    kernel therefore unrolls the 8 children in Python, keeps every per-lane
+    quantity as a (tile, 1) column, and writes the per-lane stack with
+    unrolled (tile, STACK_DEPTH) one-hot selects instead of scatters.
 
 Semantics match bvh_jax._traverse exactly (same slab/Moller-Trumbore tests,
 same far-to-near push ordering); equality is tested on the sphere scene in
@@ -37,7 +40,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..core import math as m
 from ..scene.bvh8 import STACK_DEPTH
 
 WIDTH = 8
@@ -61,11 +63,11 @@ def pack_tables(bvh):
     return node_tab, leaf_tab
 
 
-def _onehot_gather(table_ref, idx, rows: int):
-    """Per-lane row fetch as a one-hot MXU matmul: (T,) int32 -> (T, C)."""
-    t = idx.shape[0]
+def _onehot_gather(table_ref, idx_col, rows: int):
+    """Per-lane row fetch as a one-hot MXU matmul: (T,1) int32 -> (T, C)."""
+    t = idx_col.shape[0]
     onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (t, rows), 1) == idx[:, None]
+        jax.lax.broadcasted_iota(jnp.int32, (t, rows), 1) == idx_col
     ).astype(jnp.float32)
     return jax.lax.dot_general(
         onehot, table_ref[...],
@@ -74,24 +76,36 @@ def _onehot_gather(table_ref, idx, rows: int):
     )
 
 
+def _dot3(a, b):
+    return jnp.sum(a * b, axis=-1, keepdims=True)        # (T,3)x(T,3)->(T,1)
+
+
+def _cross3(a, b):
+    ax, ay, az = a[:, 0:1], a[:, 1:2], a[:, 2:3]
+    bx, by, bz = b[:, 0:1], b[:, 1:2], b[:, 2:3]
+    return jnp.concatenate(
+        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=1
+    )
+
+
 def _kernel(node_ref, leaf_ref, o_ref, d_ref, maxt_ref, active_ref,
             t_ref, face_ref, u_ref, v_ref, *, n_nodes: int, n_leaves: int,
             any_hit: bool):
-    o = o_ref[...]
+    o = o_ref[...]                                       # (T, 3)
     d = d_ref[...]
     tile = o.shape[0]
-    inv_d = m.safe_div(jnp.ones((), jnp.float32), d, fill=jnp.inf)
-    active = active_ref[...] != 0
+    inv_d = jnp.where(d != 0.0, 1.0 / jnp.where(d == 0.0, 1.0, d), jnp.inf)
+    active = active_ref[...] != 0                        # (T, 1)
 
-    t_best = jnp.where(active, maxt_ref[...], 0.0)
-    face_best = jnp.full((tile,), -1, jnp.int32)
-    u_best = jnp.zeros((tile,), jnp.float32)
-    v_best = jnp.zeros((tile,), jnp.float32)
+    t_best = jnp.where(active, maxt_ref[...], 0.0)       # (T, 1)
+    face_best = jnp.full((tile, 1), -1, jnp.int32)
+    u_best = jnp.zeros((tile, 1), jnp.float32)
+    v_best = jnp.zeros((tile, 1), jnp.float32)
     cur = jnp.where(active, jnp.int32(0), jnp.int32(DONE))
     stack = jnp.zeros((tile, STACK_DEPTH), jnp.float32)
-    sp = jnp.zeros((tile,), jnp.int32)
-    ki = jax.lax.broadcasted_iota(jnp.int32, (tile, WIDTH), 1)
+    sp = jnp.zeros((tile, 1), jnp.int32)
     si = jax.lax.broadcasted_iota(jnp.int32, (tile, STACK_DEPTH), 1)
+    ko = jax.lax.broadcasted_iota(jnp.int32, (tile, WIDTH), 1)
 
     def cond(state):
         return jnp.any(state[0] != DONE)
@@ -104,49 +118,54 @@ def _kernel(node_ref, leaf_ref, o_ref, d_ref, maxt_ref, active_ref,
 
         # ---------------- internal: one-hot row, 8 slab tests --------------
         row = _onehot_gather(node_ref, jnp.where(is_int, cur, 0), n_nodes)
-        codes = jnp.round(row[:, 0:8]).astype(jnp.int32)
-        bb = row[:, 8:56].reshape(tile, WIDTH, 6)
-        t0 = (bb[:, :, 0:3] - o[:, None, :]) * inv_d[:, None, :]
-        t1 = (bb[:, :, 3:6] - o[:, None, :]) * inv_d[:, None, :]
-        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        codes = jnp.round(row[:, 0:WIDTH]).astype(jnp.int32)   # (T, 8)
+        near_cols = []
+        far_cols = []
+        for k in range(WIDTH):
+            lo = row[:, 8 + 6 * k : 11 + 6 * k]
+            hi = row[:, 11 + 6 * k : 14 + 6 * k]
+            t0 = (lo - o) * inv_d
+            t1 = (hi - o) * inv_d
+            near_cols.append(
+                jnp.max(jnp.minimum(t0, t1), axis=-1, keepdims=True)
+            )
+            far_cols.append(
+                jnp.min(jnp.maximum(t0, t1), axis=-1, keepdims=True)
+            )
+        t_near = jnp.concatenate(near_cols, axis=1)            # (T, 8)
+        t_far = jnp.concatenate(far_cols, axis=1)
         hit = (
             (t_near <= t_far * 1.00000024) & (t_far > 0.0)
-            & (t_near < t_best[:, None]) & (codes != DONE)
-            & is_int[:, None]
+            & (t_near < t_best) & (codes != DONE) & is_int
         )
 
         t_sort = jnp.where(hit, t_near, jnp.inf)
-        k_near = jnp.argmin(t_sort, axis=-1)
-        any_child = jnp.any(hit, axis=-1)
-        onehot_near = ki == k_near[:, None]
-        near_code = jnp.sum(jnp.where(onehot_near, codes, 0), axis=-1)
-
-        push_mask = hit & ~onehot_near
-        n_push = jnp.sum(push_mask.astype(jnp.int32), axis=-1)
-        if any_hit:
-            pm = push_mask.astype(jnp.int32)
-            rank_far = jnp.cumsum(pm, axis=-1) - pm
-        else:
-            tp = jnp.where(push_mask, t_near, -jnp.inf)
-            farther = (
-                (tp[:, None, :] > tp[:, :, None])
-                | ((tp[:, None, :] == tp[:, :, None])
-                   & (ki[:, None, :] > ki[:, :, None]))
-            ) & push_mask[:, None, :]
-            rank_far = jnp.sum(farther.astype(jnp.int32), axis=-1)
-        push_pos = sp[:, None] + rank_far                       # (T, 8)
-        # dense one-hot stack write: sum_k onehot(pos_k) * code_k
-        sel = (
-            (si[:, None, :] == push_pos[:, :, None])
-            & push_mask[:, :, None]
-            & (push_pos < STACK_DEPTH)[:, :, None]
-        )                                                       # (T, 8, SD)
-        upd = jnp.sum(
-            jnp.where(sel, codes.astype(jnp.float32)[:, :, None], 0.0), axis=1
+        t_min = jnp.min(t_sort, axis=-1, keepdims=True)
+        is_min = (t_sort == t_min) & hit
+        onehot_near = is_min & (jnp.cumsum(is_min.astype(jnp.int32), axis=1)
+                                == 1)
+        any_child = jnp.any(hit, axis=-1, keepdims=True)
+        near_code = jnp.sum(
+            jnp.where(onehot_near, codes, 0), axis=-1, keepdims=True
         )
-        written = jnp.any(sel, axis=1)
-        stack = jnp.where(written, upd, stack)
+
+        # far-to-near push ordering: per-child rank from 2-D column compares
+        push_mask = hit & ~onehot_near
+        n_push = jnp.sum(
+            push_mask.astype(jnp.int32), axis=-1, keepdims=True
+        )
+        tp = jnp.where(push_mask, t_near, -jnp.inf)
+        codes_f = codes.astype(jnp.float32)
+        for k in range(WIDTH):
+            tpk = tp[:, k : k + 1]
+            pk = push_mask[:, k : k + 1]
+            farther = ((tp > tpk) | ((tp == tpk) & (ko > k))) & push_mask
+            rank_k = jnp.sum(
+                farther.astype(jnp.int32), axis=-1, keepdims=True
+            )
+            pos_k = sp + rank_k                                # (T, 1)
+            sel = (si == pos_k) & pk & (pos_k < STACK_DEPTH)
+            stack = jnp.where(sel, codes_f[:, k : k + 1], stack)
 
         # ---------------- leaf: one-hot row, 8 triangle tests --------------
         leaf_id = jnp.where(is_leaf, -cur - 2, 0)
@@ -157,22 +176,24 @@ def _kernel(node_ref, leaf_ref, o_ref, d_ref, maxt_ref, active_ref,
             v0 = g9[:, 0:3]
             e1 = g9[:, 3:6] - v0
             e2 = g9[:, 6:9] - v0
-            pvec = m.cross(d, e2)
-            det = m.dot(e1, pvec)
-            inv_det = m.safe_div(jnp.ones((), det.dtype), det)
+            pvec = _cross3(d, e2)
+            det = _dot3(e1, pvec)
+            inv_det = jnp.where(
+                det != 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0
+            )
             tvec = o - v0
-            uu = m.dot(tvec, pvec) * inv_det
-            qvec = m.cross(tvec, e1)
-            vv = m.dot(d, qvec) * inv_det
-            tt = m.dot(e2, qvec) * inv_det
+            uu = _dot3(tvec, pvec) * inv_det
+            qvec = _cross3(tvec, e1)
+            vv = _dot3(d, qvec) * inv_det
+            tt = _dot3(e2, qvec) * inv_det
             h = (
                 (jnp.abs(det) > 1e-10)
                 & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                 & (tt > 0.0) & (tt < t_best)
             )
-            ok = is_leaf & h & (frow[:, k] >= 0)
+            ok = is_leaf & h & (frow[:, k : k + 1] >= 0)
             t_best = jnp.where(ok, tt, t_best)
-            face_best = jnp.where(ok, frow[:, k], face_best)
+            face_best = jnp.where(ok, frow[:, k : k + 1], face_best)
             u_best = jnp.where(ok, uu, u_best)
             v_best = jnp.where(ok, vv, v_best)
 
@@ -187,12 +208,9 @@ def _kernel(node_ref, leaf_ref, o_ref, d_ref, maxt_ref, active_ref,
             descend, jnp.minimum(sp + n_push, STACK_DEPTH), sp
         )
         want_pop = live & ~early_done & ~descend
+        top_sel = si == jnp.clip(sp_new - 1, 0, STACK_DEPTH - 1)
         top_f = jnp.sum(
-            jnp.where(
-                si == jnp.clip(sp_new - 1, 0, STACK_DEPTH - 1)[:, None],
-                stack, 0.0,
-            ),
-            axis=-1,
+            jnp.where(top_sel, stack, 0.0), axis=-1, keepdims=True
         )
         popped = jnp.where(
             sp_new > 0, jnp.round(top_f).astype(jnp.int32), DONE
@@ -229,13 +247,13 @@ def traverse_pallas(node_tab, leaf_tab, o, d, maxt, active, *,
     n_pad = (n + tile - 1) // tile * tile
     pad = n_pad - n
 
-    def p(x, fill=0):
-        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
-                       constant_values=fill)
+    def p2(x, fill=0):
+        x = x.reshape(n, -1)
+        return jnp.pad(x, [(0, pad), (0, 0)], constant_values=fill)
 
-    o_p, d_p = p(o), p(d)
-    maxt_p = p(maxt)
-    act_p = p(active.astype(jnp.int32))
+    o_p, d_p = p2(o), p2(d)
+    maxt_p = p2(maxt)
+    act_p = p2(active.astype(jnp.int32))
 
     grid = (n_pad // tile,)
     kern = functools.partial(
@@ -250,21 +268,21 @@ def traverse_pallas(node_tab, leaf_tab, o, d, maxt, active, *,
             pl.BlockSpec(leaf_tab.shape, lambda i: (0, 0)),
             pl.BlockSpec((tile, 3), lambda i: (i, 0)),
             pl.BlockSpec((tile, 3), lambda i: (i, 0)),
-            pl.BlockSpec((tile,), lambda i: (i,)),
-            pl.BlockSpec((tile,), lambda i: (i,)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((tile,), lambda i: (i,)),
-            pl.BlockSpec((tile,), lambda i: (i,)),
-            pl.BlockSpec((tile,), lambda i: (i,)),
-            pl.BlockSpec((tile,), lambda i: (i,)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad,), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         ],
         interpret=interpret,
     )(node_tab, leaf_tab, o_p, d_p, maxt_p, act_p)
-    return t[:n], face[:n], u[:n], v[:n]
+    return t[:n, 0], face[:n, 0], u[:n, 0], v[:n, 0]
