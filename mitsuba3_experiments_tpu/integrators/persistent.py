@@ -377,13 +377,13 @@ def _transition_trace(scene: Scene, st: PersistentState, seed, *,
 
 
 def _refill_persistent(scene: Scene, st: PersistentState, next_ray, seed, *,
-                       spp: int, n_total: int):
+                       spp: int, ray_end):
     """Dead lanes take fresh camera rays (prefix-sum ranked, fixed shapes;
     same scheme as wavefront._refill_impl)."""
     dead = ~st.alive
     rank = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)
     new_idx = next_ray + rank.astype(jnp.uint32)
-    take = dead & (new_idx < jnp.uint32(n_total))
+    take = dead & (new_idx < jnp.uint32(ray_end))
 
     w, h = scene.camera.resolution
     pix = new_idx // jnp.uint32(spp)
@@ -417,12 +417,12 @@ def _refill_persistent(scene: Scene, st: PersistentState, next_ray, seed, *,
 
 @partial(
     jax.jit,
-    static_argnames=("spp", "n_total", "max_depth", "rr_depth", "rfilter",
+    static_argnames=("spp", "max_depth", "rr_depth", "rfilter",
                      "steps", "n_rounds"),
     donate_argnums=(1, 2, 3),
 )
 def _run_persistent(scene: Scene, st: PersistentState, film, next_ray,
-                    seed, *, spp: int, n_total: int, max_depth: int,
+                    seed, ray_end, *, spp: int, max_depth: int,
                     rr_depth: int, rfilter: str, steps: int, n_rounds: int):
     def one_round(carry, _):
         st, film, next_ray = carry
@@ -431,7 +431,7 @@ def _run_persistent(scene: Scene, st: PersistentState, film, next_ray,
             scene, st, seed, max_depth=max_depth, rr_depth=rr_depth
         )
         st, next_ray = _refill_persistent(
-            scene, st, next_ray, seed, spp=spp, n_total=n_total
+            scene, st, next_ray, seed, spp=spp, ray_end=ray_end
         )
         st = _trav_steps(scene, st, steps)
         return (st, film, next_ray), None
@@ -466,8 +466,8 @@ def render_persistent(scene: Scene, seed: int = 0, spp: int = 16,
     next_ray = jnp.zeros((), jnp.uint32)
     while True:
         st, film, next_ray = _run_persistent(
-            scene, st, film, next_ray, seed_u,
-            spp=spp, n_total=n_total, max_depth=max_depth,
+            scene, st, film, next_ray, seed_u, jnp.uint32(n_total),
+            spp=spp, max_depth=max_depth,
             rr_depth=rr_depth, rfilter=rfilter, steps=steps,
             n_rounds=rounds_per_launch,
         )

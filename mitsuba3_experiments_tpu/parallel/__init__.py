@@ -1,5 +1,6 @@
 from .mesh import (  # noqa: F401
     make_mesh,
+    render_persistent_sharded,
     render_sharded,
     sharded_grad_step,
 )

@@ -133,6 +133,65 @@ def render_sharded(scene, integrator, mesh: Mesh, seed: int = 0,
     return filmlib.develop(film)
 
 
+def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
+                              spp: int = 16, max_depth: int = 16,
+                              rr_depth: int = 4, rfilter: str = "box",
+                              n_lanes: int = 32768, steps: int = 16,
+                              rounds_per_launch: int = 8):
+    """Multi-chip persistent-wavefront render: each device runs its own
+    incremental-traversal state machine (integrators/persistent.py) over an
+    owned contiguous slice of the global ray stream; partial films psum at
+    develop.  RNG is keyed by global ray index, so the result equals the
+    single-device renderer up to splat-order float noise."""
+    from jax.sharding import NamedSharding
+
+    from ..integrators.persistent import PersistentState, _run_persistent
+
+    w, h = scene.camera.resolution
+    n_total = w * h * spp
+    ndev = mesh.shape["dp"]
+    per = (n_total + ndev - 1) // ndev
+    n_lanes = min(n_lanes, per)
+
+    st = PersistentState.empty(n_lanes * ndev)
+    films = jnp.zeros((ndev, h, w, 4), m.Float)
+    cursors = jnp.arange(ndev, dtype=jnp.uint32) * jnp.uint32(per)
+    ray_end = jnp.minimum(
+        (jnp.arange(ndev, dtype=jnp.uint32) + 1) * jnp.uint32(per),
+        jnp.uint32(n_total),
+    )
+
+    def per_device(scene, st, film, next_ray, rend, seed):
+        st, f, nr = _run_persistent(
+            scene, st, film[0], next_ray[0], seed, rend[0],
+            spp=spp, max_depth=max_depth, rr_depth=rr_depth,
+            rfilter=rfilter, steps=steps, n_rounds=rounds_per_launch,
+        )
+        return st, f[None], nr[None]
+
+    shard_fn = jax.jit(
+        jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"), P()),
+            out_specs=(P("dp"), P("dp"), P("dp")),
+            check_vma=False,
+        ),
+        donate_argnums=(1, 2, 3),
+    )
+
+    seed_u = jnp.uint32(seed)
+    while True:
+        st, films, cursors = shard_fn(
+            scene, st, films, cursors, ray_end, seed_u
+        )
+        n_alive = int(jnp.sum(st.alive.astype(jnp.int32)))
+        done = bool(jnp.all(cursors >= ray_end))
+        if done and n_alive == 0:
+            break
+    return filmlib.develop(jnp.sum(films, axis=0))
+
+
 @partial(jax.jit, static_argnames=("integrator", "spp_per_pass", "mesh"))
 def sharded_grad_step(scene, params, target, seed, mesh: Mesh,
                       integrator, spp_per_pass: int = 1):

@@ -73,3 +73,24 @@ def test_sharded_grad_step_allreduce(box):
     # grads are replicated (identical across devices by construction): check
     # the returned value is fully addressable and consistent
     assert g.shape == (1, 3)
+
+
+def test_persistent_sharded_matches_single_device(box):
+    """Sharded persistent renderer == single-device persistent renderer:
+    per-device state machines over owned ray ranges, global-index RNG."""
+    from mitsuba3_experiments_tpu.integrators.persistent import (
+        render_persistent,
+    )
+    from mitsuba3_experiments_tpu.parallel import render_persistent_sharded
+
+    img1 = np.asarray(
+        render_persistent(box, spp=2, max_depth=3, n_lanes=512, steps=8,
+                          rounds_per_launch=4, seed=3)
+    )
+    mesh = make_mesh()
+    img8 = np.asarray(
+        render_persistent_sharded(box, mesh, spp=2, max_depth=3,
+                                  n_lanes=128, steps=8,
+                                  rounds_per_launch=4, seed=3)
+    )
+    np.testing.assert_allclose(img8, img1, rtol=1e-4, atol=1e-5)
