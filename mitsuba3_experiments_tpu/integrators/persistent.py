@@ -133,14 +133,30 @@ def _start_traversal(st: PersistentState, take, o, d, maxt):
     )
 
 
-def _trav_steps(scene: Scene, st: PersistentState, k: int):
+def unify_tables(bvh):
+    """Concatenate node and leaf rows into ONE uniform-width table.
+
+    The stepper's per-iteration cost on this TPU is the COUNT of gather
+    calls (each ~0.1-0.35 ms, size-independent — BENCH.md); separate
+    node/leaf gathers waste one of the two on every lane.  A single 88-wide
+    table (node rows zero-padded from 64) serves both with one gather: row
+    i < n_nodes is internal, row n_nodes + j is leaf j."""
+    nodes, leaves = bvh.nodes, bvh.leaf_tris
+    pad = leaves.shape[1] - nodes.shape[1]
+    nodes_p = jnp.pad(nodes, ((0, 0), (0, pad)))
+    return jnp.concatenate([nodes_p, leaves], axis=0), nodes.shape[0]
+
+
+def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int):
     """Advance every in-flight traversal by at most k iterations.
 
     One fused stepper serves both phases: P_SHADOW lanes early-exit on any
     hit (occlusion queries need no nearest ordering, but ordered pushes are
-    correct for them too, so the push logic is shared)."""
-    nodes = scene.bvh.nodes
-    leaf_tris = scene.bvh.leaf_tris
+    correct for them too, so the push logic is shared).  One row gather per
+    iteration serves internal AND leaf lanes (unify_tables): the fetched
+    row is decoded under both views, each masked by the lane's node kind —
+    the garbage view is discarded by the same masks that already guarded
+    the two-gather form."""
     n = st.alive.shape[0]
     lane_base = jnp.arange(n, dtype=jnp.int32) * STACK_DEPTH
     ki = jnp.arange(WIDTH, dtype=jnp.int32)
@@ -155,7 +171,11 @@ def _trav_steps(scene: Scene, st: PersistentState, k: int):
         is_int = cur >= 0
         is_leaf = cur <= -2
 
-        row = jnp.take(nodes, jnp.where(is_int, cur, 0), axis=0)
+        row_idx = jnp.where(
+            is_int, cur,
+            n_nodes + jnp.where(is_leaf, -cur - 2, 0),
+        )
+        row = jnp.take(unified, row_idx, axis=0)          # (N, 88)
         codes = jax.lax.bitcast_convert_type(row[:, 0:8], jnp.int32)
         bb = row[:, 8:56].reshape(n, WIDTH, 6)
         t0 = (bb[:, :, 0:3] - o[:, None, :]) * inv_d[:, None, :]
@@ -193,8 +213,7 @@ def _trav_steps(scene: Scene, st: PersistentState, k: int):
             codes.reshape(-1), mode="drop"
         )
 
-        leaf_id = jnp.where(is_leaf, -cur - 2, 0)
-        trow = jnp.take(leaf_tris, leaf_id, axis=0)
+        trow = row  # leaf view of the same gathered row
         frow = jax.lax.bitcast_convert_type(trow[:, 80:88], jnp.int32)
         for kk in range(WIDTH):
             g9 = trow[:, 9 * kk : 9 * kk + 9]
@@ -417,13 +436,14 @@ def _refill_persistent(scene: Scene, st: PersistentState, next_ray, seed, *,
 
 @partial(
     jax.jit,
-    static_argnames=("spp", "max_depth", "rr_depth", "rfilter",
+    static_argnames=("n_nodes", "spp", "max_depth", "rr_depth", "rfilter",
                      "steps", "n_rounds"),
     donate_argnums=(1, 2, 3),
 )
 def _run_persistent(scene: Scene, st: PersistentState, film, next_ray,
-                    seed, ray_end, *, spp: int, max_depth: int,
-                    rr_depth: int, rfilter: str, steps: int, n_rounds: int):
+                    seed, ray_end, unified, *, n_nodes: int, spp: int,
+                    max_depth: int, rr_depth: int, rfilter: str, steps: int,
+                    n_rounds: int):
     def one_round(carry, _):
         st, film, next_ray = carry
         st, film = _transition_shadow(scene, st, film, rfilter=rfilter)
@@ -433,7 +453,7 @@ def _run_persistent(scene: Scene, st: PersistentState, film, next_ray,
         st, next_ray = _refill_persistent(
             scene, st, next_ray, seed, spp=spp, ray_end=ray_end
         )
-        st = _trav_steps(scene, st, steps)
+        st = _trav_steps(unified, n_nodes, st, steps)
         return (st, film, next_ray), None
 
     (st, film, next_ray), _ = jax.lax.scan(
@@ -464,10 +484,11 @@ def render_persistent(scene: Scene, seed: int = 0, spp: int = 16,
     film = filmlib.new_film(w, h)
     st = PersistentState.empty(n_lanes)
     next_ray = jnp.zeros((), jnp.uint32)
+    unified, n_nodes = unify_tables(scene.bvh)
     while True:
         st, film, next_ray = _run_persistent(
             scene, st, film, next_ray, seed_u, jnp.uint32(n_total),
-            spp=spp, max_depth=max_depth,
+            unified, n_nodes=n_nodes, spp=spp, max_depth=max_depth,
             rr_depth=rr_depth, rfilter=rfilter, steps=steps,
             n_rounds=rounds_per_launch,
         )

@@ -145,7 +145,11 @@ def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
     single-device renderer up to splat-order float noise."""
     from jax.sharding import NamedSharding
 
-    from ..integrators.persistent import PersistentState, _run_persistent
+    from ..integrators.persistent import (
+        PersistentState,
+        _run_persistent,
+        unify_tables,
+    )
 
     w, h = scene.camera.resolution
     n_total = w * h * spp
@@ -161,11 +165,14 @@ def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
         jnp.uint32(n_total),
     )
 
-    def per_device(scene, st, film, next_ray, rend, seed):
+    unified, n_nodes = unify_tables(scene.bvh)
+
+    def per_device(scene, st, film, next_ray, rend, seed, unified):
         st, f, nr = _run_persistent(
-            scene, st, film[0], next_ray[0], seed, rend[0],
-            spp=spp, max_depth=max_depth, rr_depth=rr_depth,
-            rfilter=rfilter, steps=steps, n_rounds=rounds_per_launch,
+            scene, st, film[0], next_ray[0], seed, rend[0], unified,
+            n_nodes=n_nodes, spp=spp, max_depth=max_depth,
+            rr_depth=rr_depth, rfilter=rfilter, steps=steps,
+            n_rounds=rounds_per_launch,
         )
         return st, f[None], nr[None]
 
@@ -173,7 +180,7 @@ def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
         jax.shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"), P()),
+            in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"), P(), P()),
             out_specs=(P("dp"), P("dp"), P("dp")),
             check_vma=False,
         ),
@@ -183,7 +190,7 @@ def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
     seed_u = jnp.uint32(seed)
     while True:
         st, films, cursors = shard_fn(
-            scene, st, films, cursors, ray_end, seed_u
+            scene, st, films, cursors, ray_end, seed_u, unified
         )
         n_alive = int(jnp.sum(st.alive.astype(jnp.int32)))
         done = bool(jnp.all(cursors >= ray_end))
