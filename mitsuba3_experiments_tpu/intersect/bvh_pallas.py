@@ -142,8 +142,15 @@ def _kernel(node_ref, leaf_ref, o_ref, d_ref, maxt_ref, active_ref,
         t_sort = jnp.where(hit, t_near, jnp.inf)
         t_min = jnp.min(t_sort, axis=-1, keepdims=True)
         is_min = (t_sort == t_min) & hit
-        onehot_near = is_min & (jnp.cumsum(is_min.astype(jnp.int32), axis=1)
-                                == 1)
+        # first-set-column one-hot via unrolled prefix-or (Mosaic has no
+        # cumsum lowering)
+        seen = jnp.zeros((tile, 1), jnp.bool_)
+        first_cols = []
+        for k in range(WIDTH):
+            col = is_min[:, k : k + 1]
+            first_cols.append(col & ~seen)
+            seen = seen | col
+        onehot_near = jnp.concatenate(first_cols, axis=1)
         any_child = jnp.any(hit, axis=-1, keepdims=True)
         near_code = jnp.sum(
             jnp.where(onehot_near, codes, 0), axis=-1, keepdims=True

@@ -1,0 +1,73 @@
+"""Per-stage timing of the persistent renderer's round on the TPU.
+
+Times, at a realistic mid-render state: the traversal stepper alone
+(per-iteration cost), each transition, and the refill — so optimization
+targets are measured, not guessed.
+
+Usage: python scripts/persistent_profile.py [n_lanes] [steps]
+"""
+import os
+import sys
+import time
+from functools import partial
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from mitsuba3_experiments_tpu.integrators import persistent as pp
+from mitsuba3_experiments_tpu.scene.flagship import load_flagship
+
+n_lanes = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+steps = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+print("device:", jax.devices()[0], flush=True)
+scene = load_flagship(res=(1280, 720), spp=4, tri_budget=2_000_000)[0]
+unified, n_nodes = pp.unify_tables(scene.bvh)
+n_total = 1280 * 720 * 4
+
+# build a realistic mid-render state: run a few fused rounds first
+from mitsuba3_experiments_tpu.render import film as filmlib
+
+film = filmlib.new_film(1280, 720)
+st = pp.PersistentState.empty(n_lanes)
+next_ray = jnp.zeros((), jnp.uint32)
+seed = jnp.uint32(7)
+st, film, next_ray = pp._run_persistent(
+    scene, st, film, next_ray, seed, jnp.uint32(n_total), unified,
+    n_nodes=n_nodes, spp=4, max_depth=8, rr_depth=4, rfilter="tent",
+    steps=steps, n_rounds=12,
+)
+jax.block_until_ready(st.alive)
+print("# state warmed; alive:", int(jnp.sum(st.alive)), flush=True)
+
+stepper = jax.jit(partial(pp._trav_steps, k=steps), static_argnames=("n_nodes",))
+trans_b = jax.jit(partial(pp._transition_shadow, rfilter="tent"))
+trans_a = jax.jit(partial(pp._transition_trace, max_depth=8, rr_depth=4))
+refill = jax.jit(partial(pp._refill_persistent, spp=4))
+
+
+def timeit(label, fn, *args, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    print(f"{label}: {dt:.2f} ms", flush=True)
+    return dt
+
+
+t_step = timeit("stepper x%d" % steps, lambda s: stepper(unified, n_nodes=n_nodes, st=s), st)
+t_b = timeit("transition_shadow", lambda s: trans_b(scene, s, film)[0], st)
+t_a = timeit("transition_trace", lambda s: trans_a(scene, s, seed), st)
+t_r = timeit("refill", lambda s: refill(scene, s, next_ray, seed, ray_end=jnp.uint32(n_total))[0], st)
+print(f"# per-iteration stepper cost: {t_step/steps:.3f} ms", flush=True)
+print(f"# round = stepper {t_step:.1f} + transitions {t_a+t_b:.1f} + refill {t_r:.1f} ms", flush=True)
