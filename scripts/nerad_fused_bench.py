@@ -26,13 +26,15 @@ from mitsuba3_experiments_tpu.models.nerad import FieldConfig, NeradTrainer
 from mitsuba3_experiments_tpu.scene import cornell_box, load_dict
 
 n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 13
+m_rhs = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 print("device:", jax.devices()[0], flush=True)
 scene, _ = load_dict(cornell_box(res=64, spp=1))
 
 results = {}
 for name, fused in [("xla", False), ("fused", True)]:
     cfg = FieldConfig(fused=fused)
-    tr = NeradTrainer(field_cfg=cfg, batch_size=1 << 14)
+    tr = NeradTrainer(field_cfg=cfg, batch_size=batch, m_rhs=m_rhs)
     init, step = tr.make_train_step(scene)
     params, opt_state = init(jax.random.PRNGKey(0))
     t0 = time.perf_counter()
