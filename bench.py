@@ -26,7 +26,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 def _ladder():
     small = os.environ.get("BENCH_SMALL") == "1"
     if small:
-        return [dict(res="160x90", spp=2, depth=4, tris=100_000, chunk=14_400)]
+        return [dict(res="160x90", spp=2, depth=4, tris=100_000,
+                     chunk=14_400, mode="lockstep")]
     env = {}
     for k, cast in (("BENCH_RES", str), ("BENCH_SPP", int),
                     ("BENCH_DEPTH", int), ("BENCH_TRIS", int),
@@ -36,7 +37,11 @@ def _ladder():
     base = [
         dict(res="1280x720", spp=4, depth=8, tris=2_000_000, chunk=768),
         dict(res="640x360", spp=2, depth=6, tris=500_000, chunk=768),
-        dict(res="160x90", spp=2, depth=4, tris=100_000, chunk=14_400),
+        # last-resort rung: the round-1 lockstep path, whose tiny program is
+        # always warm in .jax_cache (a cold persistent compile at a fresh
+        # lane count can exceed any deadline through the axon relay)
+        dict(res="160x90", spp=2, depth=4, tris=100_000, chunk=14_400,
+             mode="lockstep"),
     ]
     if env:
         base.insert(0, {**base[0], **env})
@@ -115,6 +120,9 @@ def worker(cfg):
         PathIntegrator,
         render_pass,
     )
+    from mitsuba3_experiments_tpu.integrators.persistent import (
+        render_persistent,
+    )
     from mitsuba3_experiments_tpu.render import film as filmlib
     from mitsuba3_experiments_tpu.scene.flagship import load_flagship
     from mitsuba3_experiments_tpu.scene.params import traverse, update
@@ -124,36 +132,58 @@ def worker(cfg):
     chunk = cfg["chunk"]
 
     scene, meta = load_flagship(res=(w, h), spp=spp, tri_budget=tris)
-    integ = PathIntegrator(max_depth=depth, rr_depth=4)
     n = w * h
-    film = filmlib.new_film(w, h)
-    film = render_pass(
-        scene, integ, jnp.uint32(0), jnp.uint32(0), film,
-        spp_per_pass=1, rfilter="tent", chunk=chunk,
-        lane_offset=jnp.uint32(0),
-    )
-    film.block_until_ready()
-    print("# fwd compile done", flush=True)
 
-    iters = max(spp, 2)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        for off in range(0, n, chunk):
-            film = render_pass(
-                scene, integ, jnp.uint32(1), jnp.uint32(i), film,
-                spp_per_pass=1, rfilter="tent", chunk=chunk,
-                lane_offset=jnp.uint32(off),
-            )
-    film.block_until_ready()
-    dt = time.perf_counter() - t0
-    rays_per_s = (n * iters) / dt
+    # ------------------------- forward (persistent) ----------------------
+    # the persistent state-machine renderer is the fastest forward path
+    # (BENCH.md round-2 scan); equality with render() is tested, so the
+    # benchmark measures the production renderer, not the debug one.
+    # mode="lockstep" (the small fallback rung) uses the round-1 chunked
+    # launches instead — tiny always-warm programs.
+    if cfg.get("mode") == "lockstep":
+        integ = PathIntegrator(max_depth=depth, rr_depth=4)
+
+        def fwd(seed, pass_idx):
+            film = filmlib.new_film(w, h)
+            for off in range(0, n, chunk):
+                film = render_pass(
+                    scene, integ, seed, pass_idx, film, spp_per_pass=1,
+                    rfilter="tent", chunk=chunk,
+                    lane_offset=jnp.uint32(off),
+                )
+            return filmlib.develop(film)
+
+        img = fwd(jnp.uint32(0), jnp.uint32(0))
+        jax.block_until_ready(img)
+        print("# fwd compile done", flush=True)
+        t0 = time.perf_counter()
+        img = fwd(jnp.uint32(1), jnp.uint32(0))
+        jax.block_until_ready(img)
+        dt = time.perf_counter() - t0
+        rays_per_s = n / dt
+    else:
+        pkw = dict(
+            spp=spp, max_depth=depth, rr_depth=4, rfilter="tent",
+            n_lanes=cfg.get("n_lanes", 32768), steps=cfg.get("steps", 16),
+            rounds_per_launch=cfg.get("rpl", 32),
+        )
+        img = render_persistent(scene, seed=0, **pkw)
+        jax.block_until_ready(img)
+        print("# fwd compile done", flush=True)
+
+        t0 = time.perf_counter()
+        img = render_persistent(scene, seed=1, **pkw)
+        jax.block_until_ready(img)
+        dt = time.perf_counter() - t0
+        rays_per_s = (n * spp) / dt
     print(f"# fwd {rays_per_s:.0f} rays/s", flush=True)
 
     # ---------------- forward+backward (BASELINE primary) ----------------
     # Differentiable render of a chunk + per-pixel MSE against a target,
     # gradients wrt material base_color and emitter radiance — the adjoint
     # workload of BASELINE.md ("rays/s/chip, path-MIS forward+backward").
-    target = filmlib.develop(film)
+    iters = max(spp, 2)
+    target = img  # render_persistent returns the developed (h, w, 3) image
     integ_d = PathIntegrator(max_depth=depth, rr_depth=4,
                              differentiable=True)
     diff_params = {

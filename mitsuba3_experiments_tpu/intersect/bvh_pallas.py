@@ -143,14 +143,15 @@ def _kernel(node_ref, leaf_ref, o_ref, d_ref, maxt_ref, active_ref,
         t_min = jnp.min(t_sort, axis=-1, keepdims=True)
         is_min = (t_sort == t_min) & hit
         # first-set-column one-hot via unrolled prefix-or (Mosaic has no
-        # cumsum lowering)
-        seen = jnp.zeros((tile, 1), jnp.bool_)
+        # cumsum lowering).  Computed in int32: concatenating i1 vregs
+        # trips an invalid bitcast_vreg in Mosaic, i32 concat lowers fine.
+        seen = jnp.zeros((tile, 1), jnp.int32)
         first_cols = []
         for k in range(WIDTH):
-            col = is_min[:, k : k + 1]
-            first_cols.append(col & ~seen)
-            seen = seen | col
-        onehot_near = jnp.concatenate(first_cols, axis=1)
+            col = is_min[:, k : k + 1].astype(jnp.int32)
+            first_cols.append(col * (1 - seen))
+            seen = jnp.maximum(seen, col)
+        onehot_near = jnp.concatenate(first_cols, axis=1) > 0
         any_child = jnp.any(hit, axis=-1, keepdims=True)
         near_code = jnp.sum(
             jnp.where(onehot_near, codes, 0), axis=-1, keepdims=True
