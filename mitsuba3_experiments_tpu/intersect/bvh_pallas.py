@@ -268,6 +268,18 @@ def traverse_pallas(node_tab, leaf_tab, o, d, maxt, active, *,
         _kernel, n_nodes=node_tab.shape[0], n_leaves=leaf_tab.shape[0],
         any_hit=any_hit,
     )
+    # the default 16 MiB scoped-vmem limit undercounts what v5e physically
+    # has; the tables alone are ~9 MiB for a 200k-tri scene
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        params = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
+        )
+    except Exception:
+        params = {}
     t, face, u, v = pl.pallas_call(
         kern,
         grid=grid,
@@ -292,5 +304,6 @@ def traverse_pallas(node_tab, leaf_tab, o, d, maxt, active, *,
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         ],
         interpret=interpret,
+        **({} if interpret else params),
     )(node_tab, leaf_tab, o_p, d_p, maxt_p, act_p)
     return t[:n, 0], face[:n, 0], u[:n, 0], v[:n, 0]

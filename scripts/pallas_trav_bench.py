@@ -72,6 +72,7 @@ for cfg in cfgs:
     active = jnp.ones((n,), bool)
 
     res = {"cfg": cfg, "tris": n_tris}
+    failed = False
     for name, fn in [
         ("xla", lambda: _traverse(
             b.nodes, b.leaf_tris, b.leaf_face, o_j, d_j, maxt, active, False
@@ -82,7 +83,12 @@ for cfg in cfgs:
         )),
     ]:
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn())
+        try:
+            out = jax.block_until_ready(fn())
+        except Exception as e:
+            res[f"{name}_error"] = str(e).splitlines()[0][:200]
+            failed = True
+            continue
         res[f"{name}_compile_s"] = round(time.perf_counter() - t0, 1)
         iters = 5
         t0 = time.perf_counter()
@@ -93,5 +99,6 @@ for cfg in cfgs:
         res[f"{name}_ms"] = round(dt * 1e3, 2)
         res[f"{name}_mrays_s"] = round(n / dt / 1e6, 3)
         res[f"{name}_hits"] = int(jnp.sum(out[1] >= 0))
-    res["speedup"] = round(res["xla_ms"] / res["pallas_ms"], 2)
+    if not failed:
+        res["speedup"] = round(res["xla_ms"] / res["pallas_ms"], 2)
     print(json.dumps(res), flush=True)
