@@ -250,24 +250,24 @@ def ray_intersect_brute(scene: Scene, ray: Ray, active=None) -> SurfaceInteracti
 
 
 def _make_si(scene: Scene, ray: Ray, t, face, u, v) -> SurfaceInteraction:
-    """Assemble the SurfaceInteraction from a hit (global face id)."""
+    """Assemble the SurfaceInteraction from a hit (global face id).
+
+    ONE row gather from Geometry.face_packed (layout documented there): on
+    the axon TPU row gathers are latency-bound and width-independent, so the
+    13-gather indexed-soup form cost ~8.4 ms/launch vs ~0.7 ms packed
+    (BENCH.md round 2).  e1/e2 are precomputed at build with the identical
+    subtraction, so results are bit-equal to the old form."""
     g = scene.geometry
     valid = face >= 0
     face_s = jnp.where(valid, face, 0)
 
-    fidx = jnp.take(g.faces, face_s, axis=0)            # (N, 3)
-    v0 = jnp.take(g.vertices, fidx[:, 0], axis=0)
-    v1 = jnp.take(g.vertices, fidx[:, 1], axis=0)
-    v2 = jnp.take(g.vertices, fidx[:, 2], axis=0)
-    e1 = v1 - v0
-    e2 = v2 - v0
+    row = jnp.take(g.face_packed, face_s, axis=0)       # (N, 28)
+    v0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
     p = v0 + e1 * u[:, None] + v[:, None] * e2
     ng = m.normalize(m.cross(e1, e2))
 
-    flat = jnp.take(g.face_flat, face_s)
-    n0 = jnp.take(g.normals, fidx[:, 0], axis=0)
-    n1 = jnp.take(g.normals, fidx[:, 1], axis=0)
-    n2 = jnp.take(g.normals, fidx[:, 2], axis=0)
+    flat = row[:, 24] > 0.5
+    n0, n1, n2 = row[:, 9:12], row[:, 12:15], row[:, 15:18]
     ns = m.normalize(
         n0 * (1.0 - u - v)[:, None] + n1 * u[:, None] + n2 * v[:, None]
     )
@@ -275,13 +275,14 @@ def _make_si(scene: Scene, ray: Ray, t, face, u, v) -> SurfaceInteraction:
     # keep shading normal in the same hemisphere as the geometric one
     ns = jnp.where(m.dot(ns, ng)[:, None] < 0.0, -ns, ns)
 
-    uv0 = jnp.take(g.uvs, fidx[:, 0], axis=0)
-    uv1 = jnp.take(g.uvs, fidx[:, 1], axis=0)
-    uv2 = jnp.take(g.uvs, fidx[:, 2], axis=0)
+    uv0, uv1, uv2 = row[:, 18:20], row[:, 20:22], row[:, 22:24]
     uv = uv0 * (1.0 - u - v)[:, None] + uv1 * u[:, None] + uv2 * v[:, None]
 
     sh_s, sh_t = m.coordinate_system(ns)
     wi = m.to_local(sh_s, sh_t, ns, -ray.d)
+
+    mat_id = jax.lax.bitcast_convert_type(row[:, 25], jnp.int32)
+    emitter_id = jax.lax.bitcast_convert_type(row[:, 26], jnp.int32)
 
     inval = ~valid
     return SurfaceInteraction(
@@ -294,6 +295,6 @@ def _make_si(scene: Scene, ray: Ray, t, face, u, v) -> SurfaceInteraction:
         uv=jnp.where(inval[:, None], 0.0, uv),
         wi=jnp.where(inval[:, None], jnp.array([0.0, 0.0, 1.0]), wi),
         prim_idx=jnp.where(valid, face, -1),
-        mat_id=jnp.where(valid, jnp.take(g.face_mat, face_s), -1),
-        emitter_id=jnp.where(valid, jnp.take(g.face_emitter, face_s), -1),
+        mat_id=jnp.where(valid, mat_id, -1),
+        emitter_id=jnp.where(valid, emitter_id, -1),
     )

@@ -475,6 +475,9 @@ def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
         face_emitter=jnp.asarray(face_em),
         face_shape=jnp.asarray(face_shape),
         face_flat=jnp.asarray(face_flat),
+        face_packed=jnp.asarray(
+            _pack_face_rows(V, N, UV, F, face_flat, face_mat, face_em)
+        ),
     )
     materials, atlas = mb.tables()
     emitters = _build_emitter_table(
@@ -494,6 +497,31 @@ def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
     return scene, meta
 
 
+
+
+def _pack_face_rows(V, N, UV, F, face_flat, face_mat, face_em):
+    """One (F, 28) f32 row per face with everything _make_si needs.
+
+    See Geometry.face_packed for the layout rationale (gather-count is the
+    hit-shading cost on this TPU).  e1/e2 are precomputed with the same
+    float subtraction _make_si previously did at runtime, so interactions
+    are bit-identical to the 13-gather form."""
+    nf = F.shape[0]
+    pk = np.zeros((nf, 28), np.float32)
+    v0 = V[F[:, 0]]
+    pk[:, 0:3] = v0
+    pk[:, 3:6] = V[F[:, 1]] - v0
+    pk[:, 6:9] = V[F[:, 2]] - v0
+    pk[:, 9:12] = N[F[:, 0]]
+    pk[:, 12:15] = N[F[:, 1]]
+    pk[:, 15:18] = N[F[:, 2]]
+    pk[:, 18:20] = UV[F[:, 0]]
+    pk[:, 20:22] = UV[F[:, 1]]
+    pk[:, 22:24] = UV[F[:, 2]]
+    pk[:, 24] = face_flat.astype(np.float32)
+    pk[:, 25] = face_mat.astype(np.int32).view(np.float32)
+    pk[:, 26] = face_em.astype(np.int32).view(np.float32)
+    return pk
 
 
 def _build_emitter_table(V, F, face_em, emitters_rad, env=None,

@@ -42,6 +42,13 @@ class Geometry:
     face_emitter: jnp.ndarray  # (F,) i32 emitter row or -1
     face_shape: jnp.ndarray    # (F,) i32 source shape index
     face_flat: jnp.ndarray     # (F,) bool: use geometric normal for shading
+    # Packed per-face shading row, ONE gather per hit instead of 13 (on the
+    # axon TPU a row gather costs ~0.1-0.35 ms regardless of width/size, so
+    # _make_si's cost is its gather COUNT — measured 8.4 ms -> ~0.7 ms).
+    # Layout (F, 28) f32: v0[0:3] e1[3:6] e2[6:9] n0[9:12] n1[12:15]
+    # n2[15:18] uv0[18:20] uv1[20:22] uv2[22:24] flat[24]
+    # mat_id[25] emitter_id[26] (i32 bitcast) pad[27]
+    face_packed: jnp.ndarray   # (F, 28) f32
 
 
 @jstruct
