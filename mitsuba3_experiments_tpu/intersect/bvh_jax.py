@@ -65,9 +65,11 @@ def _traverse(nodes, leaf_tris, leaf_face, o, d, maxt, active,
     v_best = jnp.zeros((n,), m.Float)
 
     # code: >=0 internal row; -1 DONE; <=-2 leaf row (-code-2)
+    # shift-register stack, top = column 0: pop is a static slice and push
+    # is an elementwise 9-way select — streaming bandwidth instead of the
+    # scatter + pop-gather pair (both latency-bound on this TPU, BENCH.md)
     cur = jnp.where(active, jnp.zeros((n,), jnp.int32), DONE)
-    stack = jnp.zeros((n * STACK_DEPTH,), jnp.int32)
-    lane_base = jnp.arange(n, dtype=jnp.int32) * STACK_DEPTH
+    stack = jnp.zeros((n, STACK_DEPTH), jnp.int32)
     sp = jnp.zeros((n,), jnp.int32)
 
     def cond(state):
@@ -125,15 +127,6 @@ def _traverse(nodes, leaf_tris, leaf_face, o, d, maxt, active,
             # pos_k = sp + #{pushed j farther than k}: farthest lands at the
             # bottom, nearest at the top (popped first)
             rank_far = jnp.sum(farther, axis=-1).astype(jnp.int32)
-        push_pos = sp[:, None] + rank_far
-        flat_idx = jnp.where(
-            push_mask & (push_pos < STACK_DEPTH),
-            lane_base[:, None] + push_pos,
-            n * STACK_DEPTH,
-        )
-        stack = stack.at[flat_idx.reshape(-1)].set(
-            codes.reshape(-1), mode="drop"
-        )
 
         # ---------------- leaf: one fused packed-row gather ----------------
         leaf_id = jnp.where(is_leaf, -cur - 2, 0)
@@ -153,24 +146,47 @@ def _traverse(nodes, leaf_tris, leaf_face, o, d, maxt, active,
             early_done = jnp.zeros_like(is_leaf)
 
         # ------------------------- pop / descend --------------------------
+        # capacity: collapse_to_wide guarantees depth*(WIDTH-1) <=
+        # STACK_DEPTH; if it ever overflowed, the shift drops the DEEPEST
+        # (farthest) entries rather than the new pushes (ADVICE round 1)
         descend = is_int & any_child
-        # clamp to capacity: collapse_to_wide guarantees depth*(WIDTH-1) <=
-        # STACK_DEPTH, so this never triggers in practice, but if it did,
-        # an unclamped sp would pop stale slots (ADVICE round 1)
-        sp_new = jnp.where(
-            descend, jnp.minimum(sp + n_push, STACK_DEPTH), sp
-        )
         want_pop = live & ~early_done & ~descend
-        top = jnp.take(
-            stack, lane_base + jnp.clip(sp_new - 1, 0, STACK_DEPTH - 1)
-        )
-        popped = jnp.where(sp_new > 0, top, DONE)
+        can_pop = want_pop & (sp > 0)
+        popped = jnp.where(sp > 0, stack[:, 0], DONE)
         nxt = jnp.where(
             descend, near_code, jnp.where(want_pop, popped, DONE)
         )
         nxt = jnp.where(live & ~early_done, nxt, DONE)
-        sp_new = jnp.where(want_pop & (sp_new > 0), sp_new - 1, sp_new)
+        sp_new = jnp.where(
+            descend, jnp.minimum(sp + n_push, STACK_DEPTH),
+            jnp.where(can_pop, sp - 1, sp),
+        )
         sp_new = jnp.where(nxt == DONE, 0, sp_new)
+
+        # shift-register update: right by n_push on descend, left on pop
+        shift = jnp.where(descend, n_push, 0) - can_pop.astype(jnp.int32)
+        res = stack
+        res = jnp.where(
+            (shift == -1)[:, None],
+            jnp.concatenate(
+                [stack[:, 1:], jnp.full((n, 1), DONE, jnp.int32)], axis=1
+            ),
+            res,
+        )
+        for s in range(1, WIDTH):
+            shifted = jnp.concatenate(
+                [jnp.zeros((n, s), jnp.int32), stack[:, : STACK_DEPTH - s]],
+                axis=1,
+            )
+            res = jnp.where((shift == s)[:, None], shifted, res)
+        # insert pushed codes at columns 0..n_push-1, nearest at column 0
+        head = res[:, :WIDTH]
+        col8 = jnp.arange(WIDTH, dtype=jnp.int32)[None, :]
+        for k in range(WIDTH):
+            colk = (n_push - 1 - rank_far[:, k])[:, None]
+            mk = (push_mask[:, k] & descend)[:, None]
+            head = jnp.where((col8 == colk) & mk, codes[:, k : k + 1], head)
+        stack = jnp.concatenate([head, res[:, WIDTH:]], axis=1)
 
         return (nxt, sp_new, stack, t_best, face_best, u_best, v_best)
 

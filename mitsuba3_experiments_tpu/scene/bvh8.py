@@ -30,8 +30,10 @@ EMPTY = -1
 # Traversal stack capacity (intersect/bvh_jax.py uses the same constant).
 # Worst-case stack usage is tree_depth * (WIDTH - 1); collapse_to_wide
 # raises at build time if that could exceed the stack (ADVICE round 1:
-# silent overflow would drop subtrees -> missed hits).
-STACK_DEPTH = 64
+# silent overflow would drop subtrees -> missed hits).  The 2M-tri
+# flagship collapses to depth 10 -> 70 slots; 80 leaves headroom and the
+# shift-register stack's cost is streaming bandwidth, ~linear in depth.
+STACK_DEPTH = 80
 
 
 def collapse_to_wide(lo, hi, left, right, first, count, prim_order,
