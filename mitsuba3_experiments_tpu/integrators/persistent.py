@@ -65,6 +65,7 @@ DONE = jnp.int32(-1)
 WIDTH = 8
 P_TRACE = 0
 P_SHADOW = 1
+P_RETIRE = 2
 
 
 @jstruct
@@ -165,17 +166,46 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int):
     measured the bulk of the 2.4 ms/iteration round-2 stepper cost).
     Bottom entries fall off on overflow; bvh8.collapse_to_wide asserts at
     build time that the collapsed depth fits STACK_DEPTH, so overflow
-    cannot occur."""
+    cannot occur.
+
+    Shadow resolve is INLINE: a P_SHADOW lane whose any-hit completes is
+    resolved at the top of the next iteration (add the pending NEE
+    contribution, flip to P_TRACE, re-arm the stored next path ray) — all
+    elementwise VPU work, zero gathers.  The lane keeps traversing in the
+    SAME round instead of idling until the next round;
+    finished paths park in P_RETIRE for the (outside) film splat.  Only
+    trace-shading, which needs table gathers and BSDF sampling, remains a
+    heavyweight out-of-loop transition."""
     n = st.alive.shape[0]
     ki = jnp.arange(WIDTH, dtype=jnp.int32)
     col8 = ki[None, :]
-
-    o, d = st.tr_o, st.tr_d
-    inv_d = m.safe_div(jnp.ones((), m.Float), d, fill=jnp.inf)
-    any_hit = st.phase == P_SHADOW
+    alive = st.alive
+    cont_p, nee_L = st.cont, st.nee_L
+    next_o, next_d = st.next_o, st.next_d
 
     def body(_, carry):
-        cur, sp, stack, t_best, face_best, u_best, v_best = carry
+        (cur, sp, stack, t_best, face_best, u_best, v_best,
+         o, d, phase, L) = carry
+
+        # ----- inline shadow resolve (elementwise; see docstring) -----
+        finB = alive & (phase == P_SHADOW) & (cur == DONE)
+        occluded = face_best >= 0
+        L = L + jnp.where((finB & ~occluded)[:, None], nee_L, 0.0)
+        adv = finB & cont_p
+        phase = jnp.where(
+            adv, P_TRACE, jnp.where(finB & ~cont_p, P_RETIRE, phase)
+        )
+        o = jnp.where(adv[:, None], next_o, o)
+        d = jnp.where(adv[:, None], next_d, d)
+        cur = jnp.where(adv, jnp.int32(0), cur)
+        sp = jnp.where(adv, 0, sp)
+        t_best = jnp.where(adv, jnp.inf, t_best)
+        face_best = jnp.where(adv, -1, face_best)
+        u_best = jnp.where(adv, 0.0, u_best)
+        v_best = jnp.where(adv, 0.0, v_best)
+
+        inv_d = m.safe_div(jnp.ones((), m.Float), d, fill=jnp.inf)
+        any_hit = phase == P_SHADOW
         live = cur != DONE
         is_int = cur >= 0
         is_leaf = cur <= -2
@@ -280,39 +310,40 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int):
                 (col8 == colk) & mk, codes[:, kk : kk + 1], head
             )
         stack = jnp.concatenate([head, res[:, WIDTH:]], axis=1)
-        return (nxt, sp_new, stack, t_best, face_best, u_best, v_best)
+        return (nxt, sp_new, stack, t_best, face_best, u_best, v_best,
+                o, d, phase, L)
 
-    cur, sp, stack, t, face, u, v = jax.lax.fori_loop(
+    (cur, sp, stack, t, face, u, v, o, d, phase, L) = jax.lax.fori_loop(
         0, k, body,
         (st.tr_cur, st.tr_sp, st.tr_stack, st.tr_t, st.tr_face,
-         st.tr_u, st.tr_v),
+         st.tr_u, st.tr_v, st.tr_o, st.tr_d, st.phase, st.L),
     )
-    return dataclasses.replace(st, 
+    return dataclasses.replace(st,
         tr_cur=cur, tr_sp=sp, tr_stack=stack, tr_t=t, tr_face=face,
-        tr_u=u, tr_v=v,
+        tr_u=u, tr_v=v, tr_o=o, tr_d=d, phase=phase, L=L,
     )
 
 
-def _transition_shadow(scene: Scene, st: PersistentState, film, *,
-                       rfilter: str):
-    """P_SHADOW lanes whose any-hit finished: resolve NEE, advance or
-    retire (+ splat)."""
-    doneB = st.alive & (st.phase == P_SHADOW) & (st.tr_cur == DONE)
+def _retire(scene: Scene, st: PersistentState, film, *, rfilter: str):
+    """Splat + free lanes whose path finished (inline shadow resolve in
+    _trav_steps parked them in P_RETIRE); also catch any still-unresolved
+    P_SHADOW completion (a shadow query that finished on the round's LAST
+    stepper iteration) by resolving it here, exactly as the stepper would
+    at its next top-of-loop."""
+    finB = st.alive & (st.phase == P_SHADOW) & (st.tr_cur == DONE)
     occluded = st.tr_face >= 0
-    L = st.L + jnp.where((doneB & ~occluded)[:, None], st.nee_L, 0.0)
+    L = st.L + jnp.where((finB & ~occluded)[:, None], st.nee_L, 0.0)
+    advance = finB & st.cont
+    retire = (st.alive & (st.phase == P_RETIRE)) | (finB & ~st.cont)
 
-    retire = doneB & ~st.cont
     film = filmlib.put(
         film, st.pos, jnp.where(jnp.isfinite(L), L, 0.0),
         active=retire, rfilter=rfilter,
     )
-
-    advance = doneB & st.cont
-    st = dataclasses.replace(st, 
-        L=jnp.where(doneB[:, None], L, st.L),
+    st = dataclasses.replace(st,
+        L=jnp.where(finB[:, None], L, st.L),
         alive=st.alive & ~retire,
         phase=jnp.where(advance, P_TRACE, st.phase),
-        nee_L=jnp.where(doneB[:, None], 0.0, st.nee_L),
     )
     st = _start_traversal(
         st, advance, st.next_o, st.next_d, jnp.full_like(st.tr_t, jnp.inf)
@@ -470,7 +501,7 @@ def _run_persistent(scene: Scene, st: PersistentState, film, next_ray,
                     n_rounds: int):
     def one_round(carry, _):
         st, film, next_ray = carry
-        st, film = _transition_shadow(scene, st, film, rfilter=rfilter)
+        st, film = _retire(scene, st, film, rfilter=rfilter)
         st = _transition_trace(
             scene, st, seed, max_depth=max_depth, rr_depth=rr_depth
         )

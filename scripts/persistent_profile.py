@@ -48,7 +48,7 @@ jax.block_until_ready(st.alive)
 print("# state warmed; alive:", int(jnp.sum(st.alive)), flush=True)
 
 stepper = jax.jit(partial(pp._trav_steps, k=steps), static_argnames=("n_nodes",))
-trans_b = jax.jit(partial(pp._transition_shadow, rfilter="tent"))
+trans_b = jax.jit(partial(pp._retire, rfilter="tent"))
 trans_a = jax.jit(partial(pp._transition_trace, max_depth=8, rr_depth=4))
 refill = jax.jit(partial(pp._refill_persistent, spp=4))
 
@@ -65,9 +65,20 @@ def timeit(label, fn, *args, iters=20):
     return dt
 
 
+@jax.jit
+def noop(s):
+    return s.tr_face + 1, s.tr_t * 2.0
+
+
+stepper1 = jax.jit(partial(pp._trav_steps, k=1), static_argnames=("n_nodes",))
+
+t_no = timeit("noop (dispatch+state)", noop, st)
+t_s1 = timeit("stepper x1", lambda s: stepper1(unified, n_nodes=n_nodes, st=s), st)
 t_step = timeit("stepper x%d" % steps, lambda s: stepper(unified, n_nodes=n_nodes, st=s), st)
-t_b = timeit("transition_shadow", lambda s: trans_b(scene, s, film)[0], st)
+t_b = timeit("retire", lambda s: trans_b(scene, s, film)[0], st)
 t_a = timeit("transition_trace", lambda s: trans_a(scene, s, seed), st)
 t_r = timeit("refill", lambda s: refill(scene, s, next_ray, seed, ray_end=jnp.uint32(n_total))[0], st)
-print(f"# per-iteration stepper cost: {t_step/steps:.3f} ms", flush=True)
+print(f"# per-iteration stepper cost: {t_step/steps:.3f} ms "
+      f"(marginal {(t_step - t_s1) / (steps - 1):.3f} ms, "
+      f"noop baseline {t_no:.2f} ms)", flush=True)
 print(f"# round = stepper {t_step:.1f} + transitions {t_a+t_b:.1f} + refill {t_r:.1f} ms", flush=True)

@@ -118,11 +118,28 @@ def timeit(label, fn, *args, iters=20):
     return dt
 
 
+@jax.jit
+def stage_noop(st):
+    # fixed per-launch cost on the same input state: dispatch + state load
+    return st.tr_face + 1, st.tr_t * 2.0
+
+
+@jax.jit
+def stage_gather1(st):
+    # ONE dependent row gather (the minimum memory-latency program)
+    row = jnp.take(scene.geometry.face_packed,
+                   jnp.maximum(st.tr_face, 0), axis=0)
+    return jnp.sum(row, axis=-1)
+
+
+t_no = timeit("noop (dispatch+state)", stage_noop, st)
+t_g1 = timeit("one row gather", stage_gather1, st)
 t_si = timeit("make_si only", stage_si, st)
 t_em = timeit("si + emission MIS", stage_emission, st)
 t_ne = timeit("si + NEE emitter sample", stage_nee, st)
 t_bs = timeit("si + bsdf eval_pdf_sample", stage_bsdf, st)
 t_full = timeit("full _transition_trace", trans_a, scene, st, seed)
-print(f"# attribution: si={t_si:.2f} em={t_em - t_si:.2f} "
-      f"nee={t_ne - t_si:.2f} bsdf={t_bs - t_si:.2f} "
+print(f"# attribution (noop-corrected): noop={t_no:.2f} "
+      f"gather1={t_g1 - t_no:.2f} si={t_si - t_no:.2f} "
+      f"em={t_em - t_si:.2f} nee={t_ne - t_si:.2f} bsdf={t_bs - t_si:.2f} "
       f"other={t_full - t_em - t_ne - t_bs + 2 * t_si:.2f}", flush=True)
