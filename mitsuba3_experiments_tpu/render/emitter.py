@@ -9,6 +9,7 @@ converted to solid-angle density.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import math as m
@@ -159,19 +160,24 @@ def sample_emitter_direction(scene: Scene, si_ref, u2, test_visibility=True,
         sel_env = jnp.zeros((n,), bool)
         u0 = u2[..., 0]
 
-    # pick emissive face (power-weighted) and reuse the uniform
-    slot, u_re = em.face_dist.sample_reuse(u0)
-    face = jnp.take(em.em_face, slot)
-    fidx = jnp.take(scene.geometry.faces, face, axis=0)
-    v0 = jnp.take(scene.geometry.vertices, fidx[:, 0], axis=0)
-    v1 = jnp.take(scene.geometry.vertices, fidx[:, 1], axis=0)
-    v2 = jnp.take(scene.geometry.vertices, fidx[:, 2], axis=0)
+    # pick emissive face (power-weighted); ONE packed row gather then
+    # fetches triangle, area, prob, CDF bin, and emitter id together
+    # (em_face_packed — the take() chain it replaces was 4 dependent
+    # gathers deep).  u-reuse rescales within the CDF bin exactly as
+    # DiscreteDistribution.sample_reuse.
+    slot = em.face_dist.sample(u0)
+    row = jnp.take(em.em_face_packed, slot, axis=0)      # (N, 16)
+    lo, hi = row[:, 11], row[:, 12]
+    u_re = jnp.clip(
+        m.safe_div(u0 * em.face_dist.total - lo, hi - lo), 0.0, 1.0 - 1e-7
+    )
+    v0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
 
     b = warp.square_to_uniform_triangle(
         jnp.stack([u_re, u2[..., 1]], axis=-1)
     )
-    p = v0 + (v1 - v0) * b[..., 0:1] + (v2 - v0) * b[..., 1:2]
-    ng = m.normalize(m.cross(v1 - v0, v2 - v0))
+    p = v0 + e1 * b[..., 0:1] + e2 * b[..., 1:2]
+    ng = m.normalize(m.cross(e1, e2))
 
     d_un = p - si_ref.p
     dist2 = m.squared_norm(d_un)
@@ -179,13 +185,13 @@ def sample_emitter_direction(scene: Scene, si_ref, u2, test_visibility=True,
     d = d_un * m.safe_rcp(dist)[..., None]
 
     cos_l = m.dot(ng, -d)          # emitter front side faces the receiver
-    area = jnp.take(em.em_face_area, slot)
-    pmf = em.face_dist.prob(slot)
+    area = row[:, 9]
+    pmf = row[:, 10]
     pdf_sa = m.safe_div(pmf * dist2, cos_l * area)
     valid = active & (cos_l > 0.0) & (dist2 > 0.0) & (pdf_sa > 0.0)
 
-    rad = jnp.take(em.radiance, jnp.take(em.em_face_emitter, slot), axis=0)
-    em_id = jnp.take(em.em_face_emitter, slot)
+    em_id = jax.lax.bitcast_convert_type(row[:, 13], jnp.int32)
+    rad = jnp.take(em.radiance, em_id, axis=0)
 
     if has_env:
         d_env, pdf_env, rad_env = _sample_env_direction(
@@ -241,31 +247,34 @@ def sample_emitter_ray(scene: Scene, u_pos2, u_dir2, active=None):
     weight = Le * pi / p_area  (the cosine direction pdf cancels cos theta).
     """
     em = scene.emitters
-    slot, u_re = em.face_dist.sample_reuse(u_pos2[..., 0])
-    face = jnp.take(em.em_face, slot)
-    fidx = jnp.take(scene.geometry.faces, face, axis=0)
-    v0 = jnp.take(scene.geometry.vertices, fidx[:, 0], axis=0)
-    v1 = jnp.take(scene.geometry.vertices, fidx[:, 1], axis=0)
-    v2 = jnp.take(scene.geometry.vertices, fidx[:, 2], axis=0)
+    u0 = u_pos2[..., 0]
+    slot = em.face_dist.sample(u0)
+    row = jnp.take(em.em_face_packed, slot, axis=0)      # (N, 16)
+    lo, hi = row[:, 11], row[:, 12]
+    u_re = jnp.clip(
+        m.safe_div(u0 * em.face_dist.total - lo, hi - lo), 0.0, 1.0 - 1e-7
+    )
+    v0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
     b = warp.square_to_uniform_triangle(
         jnp.stack([u_re, u_pos2[..., 1]], axis=-1)
     )
-    p = v0 + (v1 - v0) * b[..., 0:1] + (v2 - v0) * b[..., 1:2]
-    ng = m.normalize(m.cross(v1 - v0, v2 - v0))
+    p = v0 + e1 * b[..., 0:1] + e2 * b[..., 1:2]
+    ng = m.normalize(m.cross(e1, e2))
 
     d_local = warp.square_to_cosine_hemisphere(u_dir2)
     s, t = m.coordinate_system(ng)
     d = m.to_world(s, t, ng, d_local)
 
-    area = jnp.take(em.em_face_area, slot)
-    pmf = em.face_dist.prob(slot)
+    area = row[:, 9]
+    pmf = row[:, 10]
     p_area = m.safe_div(pmf, area)
-    rad = jnp.take(em.radiance, jnp.take(em.em_face_emitter, slot), axis=0)
+    em_id = jax.lax.bitcast_convert_type(row[:, 13], jnp.int32)
+    rad = jnp.take(em.radiance, em_id, axis=0)
     weight = rad * (m.PI * m.safe_rcp(p_area))[:, None]
 
     o = p + ng * m.RAY_EPS
     ray = Ray.make(o, d)
-    return ray, weight, jnp.take(em.em_face_emitter, slot)
+    return ray, weight, em_id
 
 
 def pdf_emitter_direction(scene: Scene, si_ref, si_hit, active=None):
@@ -282,8 +291,8 @@ def pdf_emitter_direction(scene: Scene, si_ref, si_hit, active=None):
     dist2 = m.squared_norm(d_un)
     d = d_un * m.jax_rsqrt_safe(dist2)[..., None]
     cos_l = m.dot(si_hit.n, -d)
-    area = jnp.take(em.em_face_area, slot_s)
-    pmf = em.face_dist.prob(slot_s)
+    row = jnp.take(em.em_face_packed, slot_s, axis=0)
+    area, pmf = row[:, 9], row[:, 10]
     pdf = m.safe_div(pmf * dist2, cos_l * area)
     if em.env_map.shape[:2] != (1, 1):
         pdf = pdf * (1.0 - em.env_select_p)   # NEE technique-selection prob

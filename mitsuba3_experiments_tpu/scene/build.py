@@ -538,7 +538,7 @@ def _build_emitter_table(V, F, face_em, emitters_rad, env=None,
         em_faces = np.zeros(1, np.int32)
         em_face_emitter = np.zeros(1, np.int32)
         areas = np.ones(1, np.float32)
-        weights = np.ones(1, np.float32)
+        weights = np.ones(1, np.float32)  # f32: packed prob must bit-match
         face_to_slot = np.full(F.shape[0], -1, np.int32)
     else:
         rad = np.stack(emitters_rad).astype(np.float32)
@@ -579,6 +579,23 @@ def _build_emitter_table(V, F, face_em, emitters_rad, env=None,
             p_env, 0.1, 1.0 if len(emitters_rad) == 0 else 0.9
         ))
 
+    face_dist = DiscreteDistribution.create(jnp.asarray(weights))
+    # em_face_packed: see EmitterTable for layout.  prob/cdf copy the
+    # device distribution's own arrays so packed sampling is bit-identical
+    # to the take()-based form it replaces.
+    cdf = np.asarray(face_dist.cdf)
+    total = np.asarray(face_dist.total, np.float32)
+    v0 = V[F[em_faces, 0]]
+    epk = np.zeros((len(em_faces), 16), np.float32)
+    epk[:, 0:3] = v0
+    epk[:, 3:6] = V[F[em_faces, 1]] - v0
+    epk[:, 6:9] = V[F[em_faces, 2]] - v0
+    epk[:, 9] = areas
+    epk[:, 10] = weights / total
+    epk[:, 11] = np.concatenate([[np.float32(0.0)], cdf[:-1]])
+    epk[:, 12] = cdf
+    epk[:, 13] = em_face_emitter.astype(np.int32).view(np.float32)
+
     return EmitterTable(
         env_radiance=jnp.asarray(env_scale),
         env_map=jnp.asarray(env_map.astype(np.float32)),
@@ -588,6 +605,7 @@ def _build_emitter_table(V, F, face_em, emitters_rad, env=None,
         em_face=jnp.asarray(em_faces),
         em_face_emitter=jnp.asarray(em_face_emitter),
         em_face_area=jnp.asarray(areas),
-        face_dist=DiscreteDistribution.create(jnp.asarray(weights)),
+        face_dist=face_dist,
         face_to_slot=jnp.asarray(face_to_slot),
+        em_face_packed=jnp.asarray(epk),
     )

@@ -105,6 +105,13 @@ class EmitterTable:
     em_face: jnp.ndarray          # (EF,) i32 emissive face ids
     em_face_emitter: jnp.ndarray  # (EF,) i32 emitter row per emissive face
     em_face_area: jnp.ndarray     # (EF,) f32 world-space area
+    # Packed per-emissive-face row: NEE sampling needs ONE gather after the
+    # CDF search instead of a 4-deep dependent chain (slot -> em_face ->
+    # faces -> vertices).  Radiance is NOT packed — it must stay a gather
+    # from `radiance` so emitter gradients flow.  Layout (EF, 16) f32:
+    # v0[0:3] e1[3:6] e2[6:9] area[9] prob[10] cdf_lo[11] cdf_hi[12]
+    # emitter_id[13] (i32 bitcast) pad[14:16]
+    em_face_packed: jnp.ndarray   # (EF, 16) f32
     face_dist: DiscreteDistribution  # over EF slots (weight = area * power)
     face_to_slot: jnp.ndarray     # (F,) i32 global face -> EF slot or -1
     # environment emitter (mi `constant` / `envmap`): scale * bilinear
