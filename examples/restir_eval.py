@@ -51,11 +51,30 @@ CONFIG_PAIRS = {
 }
 
 scene, _ = load_dict(cornell_box(res=res, spp=1))
-print("reference render (256 spp path)...")
-ref = np.asarray(
-    render(scene, PathIntegrator(max_depth=8, rr_depth=2), spp=256,
-           chunk=chunk or None)
-)
+
+# the 256-spp reference dominates wall time at 1024^2 — render it once per
+# resolution via the persistent renderer (equality-tested vs render()) and
+# cache to disk so every mode reuses it
+ref_path = f"out/restir_ref_{res}.npy"
+try:
+    ref = np.load(ref_path)
+    print(f"reference: loaded {ref_path}")
+except FileNotFoundError:
+    print("reference render (256 spp)...")
+    if jax.devices()[0].platform == "cpu" and chunk == 0:
+        ref = np.asarray(
+            render(scene, PathIntegrator(max_depth=8, rr_depth=2), spp=256)
+        )
+    else:
+        from mitsuba3_experiments_tpu.integrators.persistent import (
+            render_persistent,
+        )
+
+        ref = np.asarray(render_persistent(
+            scene, spp=256, max_depth=8, rr_depth=2,
+            n_lanes=32768, rounds_per_launch=32,
+        ))
+    np.save(ref_path, ref)
 
 results = {}
 for ci, overrides in enumerate(CONFIG_PAIRS[mode]):
