@@ -135,17 +135,9 @@ def _start_traversal(st: PersistentState, take, o, d, maxt):
 
 
 def unify_tables(bvh):
-    """Concatenate node and leaf rows into ONE uniform-width table.
-
-    The stepper's per-iteration cost on this TPU is the COUNT of gather
-    calls (each ~0.1-0.35 ms, size-independent — BENCH.md); separate
-    node/leaf gathers waste one of the two on every lane.  A single 88-wide
-    table (node rows zero-padded from 64) serves both with one gather: row
-    i < n_nodes is internal, row n_nodes + j is leaf j."""
-    nodes, leaves = bvh.nodes, bvh.leaf_tris
-    pad = leaves.shape[1] - nodes.shape[1]
-    nodes_p = jnp.pad(nodes, ((0, 0), (0, pad)))
-    return jnp.concatenate([nodes_p, leaves], axis=0), nodes.shape[0]
+    """(unified table, n_nodes) for the stepper — now precomputed at build
+    time (BVH.unified; see scene/types.py for the gather-count rationale)."""
+    return bvh.unified, bvh.nodes.shape[0]
 
 
 def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int):

@@ -52,10 +52,15 @@ def _tri_test9(o, d, g9, t_best):
     return t, u, v, hit
 
 
-@partial(jax.jit, static_argnames=("any_hit",))
-def _traverse(nodes, leaf_tris, leaf_face, o, d, maxt, active,
+@partial(jax.jit, static_argnames=("n_nodes", "any_hit"))
+def _traverse(unified, n_nodes: int, o, d, maxt, active,
               any_hit: bool = False):
-    """Returns (t, face, u, v) with face == -1 for misses."""
+    """Returns (t, face, u, v) with face == -1 for misses.
+
+    ONE unified-table row gather per iteration (BVH.unified: row < n_nodes
+    internal, else leaf): the fetched row is decoded under both views, each
+    masked by the lane's node kind — same scheme as the persistent stepper
+    (integrators/persistent.py), which this lockstep loop predates."""
     n = o.shape[0]
     inv_d = m.safe_div(jnp.ones((), m.Float), d, fill=jnp.inf)
 
@@ -82,8 +87,11 @@ def _traverse(nodes, leaf_tris, leaf_face, o, d, maxt, active,
         is_int = cur >= 0
         is_leaf = cur <= -2
 
-        # ------------------ internal: one row, 8 slab tests ----------------
-        row = jnp.take(nodes, jnp.where(is_int, cur, 0), axis=0)  # (N, 64)
+        # ----------- one unified row gather; internal view: slabs ----------
+        row_idx = jnp.where(
+            is_int, cur, n_nodes + jnp.where(is_leaf, -cur - 2, 0)
+        )
+        row = jnp.take(unified, row_idx, axis=0)          # (N, 88)
         codes = jax.lax.bitcast_convert_type(row[:, 0:8], jnp.int32)
         bb = row[:, 8:56].reshape(n, WIDTH, 6)
         t0 = (bb[:, :, 0:3] - o[:, None, :]) * inv_d[:, None, :]
@@ -128,9 +136,8 @@ def _traverse(nodes, leaf_tris, leaf_face, o, d, maxt, active,
             # bottom, nearest at the top (popped first)
             rank_far = jnp.sum(farther, axis=-1).astype(jnp.int32)
 
-        # ---------------- leaf: one fused packed-row gather ----------------
-        leaf_id = jnp.where(is_leaf, -cur - 2, 0)
-        trow = jnp.take(leaf_tris, leaf_id, axis=0)     # (N, 88)
+        # --------------- leaf view of the same gathered row ----------------
+        trow = row
         frow = jax.lax.bitcast_convert_type(trow[:, 80:88], jnp.int32)
         for k in range(WIDTH):
             t, u, v, h = _tri_test9(o, d, trow[:, 9 * k : 9 * k + 9], t_best)
@@ -216,7 +223,7 @@ def ray_intersect(scene: Scene, ray: Ray, active=None) -> SurfaceInteraction:
         return ray_intersect_brute(scene, ray, active)
     b = scene.bvh
     t, face, u, v = _traverse(
-        b.nodes, b.leaf_tris, b.leaf_face,
+        b.unified, b.nodes.shape[0],
         ray.o, ray.d, ray.maxt, active, False,
     )
     return _make_si(scene, ray, t, face, u, v)
@@ -232,7 +239,7 @@ def ray_test(scene: Scene, ray: Ray, active=None):
         return si.prim_idx >= 0
     b = scene.bvh
     t, face, _, _ = _traverse(
-        b.nodes, b.leaf_tris, b.leaf_face,
+        b.unified, b.nodes.shape[0],
         ray.o, ray.d, ray.maxt, active, True,
     )
     return face >= 0

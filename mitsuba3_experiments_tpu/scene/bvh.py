@@ -54,10 +54,13 @@ def build_bvh(vertices: np.ndarray, faces: np.ndarray, leaf_size: int = 8) -> BV
         lo, hi, left, right, first, count, order, tv_flat,
         order.astype(np.int32),
     )
+    nodes_pad = np.zeros((nodes.shape[0], leaf_tris.shape[1]), np.float32)
+    nodes_pad[:, : nodes.shape[1]] = nodes
     return BVH(
         nodes=jnp.asarray(nodes),
         leaf_tris=jnp.asarray(leaf_tris),
         leaf_face=jnp.asarray(leaf_face),
+        unified=jnp.asarray(np.concatenate([nodes_pad, leaf_tris], axis=0)),
     )
 
 

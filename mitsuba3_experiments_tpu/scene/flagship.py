@@ -177,7 +177,7 @@ def load_flagship(res=(1280, 720), spp: int = 64, tri_budget: int = 2_000_000,
 
     from .build import load_dict
 
-    key = f"flagship_{res[0]}x{res[1]}_spp{spp}_t{tri_budget}_v7"
+    key = f"flagship_{res[0]}x{res[1]}_spp{spp}_t{tri_budget}_v8"
     if cache_dir:
         path = os.path.join(cache_dir, key + ".pkl")
         if os.path.exists(path):

@@ -150,14 +150,21 @@ class BVH:
     everything a step needs:
       nodes    (NN8, 64) f32 — [0:8] child codes (bitcast i32: >=0 internal
                row, -1 empty, <=-2 leaf row -code-2); [8:56] 8x(lo|hi).
-      leaf_tris (L, 80) f32 — 8 packed triangles (9 floats each).
-      leaf_face (L, 8)  i32 — global face ids (-1 pad; pad slots hold
-               degenerate triangles that can never hit).
+      leaf_tris (L, 88) f32 — 8 packed triangles (9 floats each, [0:72]),
+               [80:88] global face ids (bitcast i32, -1 pad; pad slots
+               hold degenerate triangles that can never hit).
+      leaf_face (L, 8)  i32 — the same face ids as a plain i32 table.
+      unified  (NN8+L, 88) f32 — nodes zero-padded to 88 then leaves:
+               ONE row gather per traversal iteration serves internal and
+               leaf lanes (row i < NN8 internal, NN8 + j leaf j); gathers
+               are latency-bound and width-independent on this TPU, so
+               gather COUNT per iteration is the traversal cost.
     """
 
     nodes: jnp.ndarray      # (NN8, 64) f32
-    leaf_tris: jnp.ndarray  # (L, 80) f32
+    leaf_tris: jnp.ndarray  # (L, 88) f32
     leaf_face: jnp.ndarray  # (L, 8) i32
+    unified: jnp.ndarray    # (NN8+L, 88) f32
 
 
 @jstruct

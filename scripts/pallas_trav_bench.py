@@ -75,7 +75,7 @@ for cfg in cfgs:
     failed = False
     for name, fn in [
         ("xla", lambda: _traverse(
-            b.nodes, b.leaf_tris, b.leaf_face, o_j, d_j, maxt, active, False
+            b.unified, b.nodes.shape[0], o_j, d_j, maxt, active, False
         )),
         ("pallas", lambda: traverse_pallas(
             node_tab, leaf_tab, o_j, d_j, maxt, active,

@@ -197,8 +197,7 @@ def test_pallas_traversal_matches_xla(rng_np):
     node_tab, leaf_tab = pack_tables(b)
     for any_hit in (False, True):
         t1, f1, u1, v1 = _traverse(
-            b.nodes, b.leaf_tris, b.leaf_face, o_j, d_j, maxt, active,
-            any_hit,
+            b.unified, b.nodes.shape[0], o_j, d_j, maxt, active, any_hit,
         )
         try:
             t2, f2, u2, v2 = traverse_pallas(
