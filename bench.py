@@ -179,53 +179,93 @@ def worker(cfg):
     print(f"# fwd {rays_per_s:.0f} rays/s", flush=True)
 
     # ---------------- forward+backward (BASELINE primary) ----------------
-    # Differentiable render of a chunk + per-pixel MSE against a target,
-    # gradients wrt material base_color and emitter radiance — the adjoint
-    # workload of BASELINE.md ("rays/s/chip, path-MIS forward+backward").
-    iters = max(spp, 2)
-    target = img  # render_persistent returns the developed (h, w, 3) image
-    integ_d = PathIntegrator(max_depth=depth, rr_depth=4,
-                             differentiable=True)
+    # Gradients of a per-pixel MSE wrt material base_color and emitter
+    # radiance — the adjoint workload of BASELINE.md ("rays/s/chip,
+    # path-MIS forward+backward").
+    target = img
     diff_params = {
         "materials.base_color": scene.materials.base_color,
         "emitters.radiance": scene.emitters.radiance,
     }
 
-    @partial(jax.jit, static_argnames=("chunk_",))
-    def grad_chunk(params, seed, pass_idx, lane_offset, target, *,
-                   chunk_: int):
-        def loss(p):
-            s = update(scene, p)
-            f0 = filmlib.new_film(w, h)
-            f0 = render_pass(
-                s, integ_d, seed, pass_idx, f0, spp_per_pass=1,
-                rfilter="box", chunk=chunk_,
-                lane_offset=lane_offset,
-            )
-            img = filmlib.develop(f0)
-            msk = (f0[..., 3] > 0.0)[..., None]
-            return jnp.sum(jnp.where(msk, (img - target) ** 2, 0.0))
+    if cfg.get("mode") == "lockstep":
+        # small fallback rung: AD through the rematerialized scan (tiny,
+        # always-warm programs)
+        iters = max(spp, 2)
+        integ_d = PathIntegrator(max_depth=depth, rr_depth=4,
+                                 differentiable=True)
 
-        return jax.grad(loss)(params)
+        @partial(jax.jit, static_argnames=("chunk_",))
+        def grad_chunk(params, seed, pass_idx, lane_offset, target, *,
+                       chunk_: int):
+            def loss(p):
+                s = update(scene, p)
+                f0 = filmlib.new_film(w, h)
+                f0 = render_pass(
+                    s, integ_d, seed, pass_idx, f0, spp_per_pass=1,
+                    rfilter="box", chunk=chunk_,
+                    lane_offset=lane_offset,
+                )
+                img = filmlib.develop(f0)
+                msk = (f0[..., 3] > 0.0)[..., None]
+                return jnp.sum(jnp.where(msk, (img - target) ** 2, 0.0))
 
-    g = grad_chunk(diff_params, jnp.uint32(0), jnp.uint32(0),
-                   jnp.uint32(0), target, chunk_=chunk)
-    jax.block_until_ready(g)
-    print("# fwd+bwd compile done", flush=True)
+            return jax.grad(loss)(params)
 
-    bwd_iters = max(1, iters // 2)
-    acc = g
-    t0 = time.perf_counter()
-    for i in range(bwd_iters):
-        for off in range(0, n, chunk):
-            g = grad_chunk(
-                diff_params, jnp.uint32(1), jnp.uint32(i),
-                jnp.uint32(off), target, chunk_=chunk,
+        g = grad_chunk(diff_params, jnp.uint32(0), jnp.uint32(0),
+                       jnp.uint32(0), target, chunk_=chunk)
+        jax.block_until_ready(g)
+        print("# fwd+bwd compile done", flush=True)
+
+        bwd_iters = max(1, iters // 2)
+        acc = g
+        t0 = time.perf_counter()
+        for i in range(bwd_iters):
+            for off in range(0, n, chunk):
+                g = grad_chunk(
+                    diff_params, jnp.uint32(1), jnp.uint32(i),
+                    jnp.uint32(off), target, chunk_=chunk,
+                )
+                acc = jax.tree_util.tree_map(jnp.add, acc, g)
+        jax.block_until_ready(acc)
+        dt_b = time.perf_counter() - t0
+        n_bwd_rays = n * bwd_iters
+    else:
+        # production path: record (persistent, no AD) + differentiable
+        # replay with no traversal in the AD graph (integrators/replay.py;
+        # grads match the scan-AD integrator — tests/test_replay.py)
+        from mitsuba3_experiments_tpu.integrators.replay import (
+            replay_render_grad,
+        )
+
+        n_rays = n * spp
+        lanes = cfg.get("n_lanes", 32768)
+        rkw = dict(
+            spp=spp, max_depth=depth, rr_depth=4, rfilter="box",
+            steps=cfg.get("steps", 16),
+            rounds_per_launch=cfg.get("rpl", 32),
+        )
+        g = replay_render_grad(
+            scene, diff_params, update, target, 0, 0, min(lanes, n_rays),
+            **rkw,
+        )
+        jax.block_until_ready(g)
+        print("# fwd+bwd compile done", flush=True)
+
+        acc = g
+        t0 = time.perf_counter()
+        for off in range(0, n_rays, lanes):
+            g = replay_render_grad(
+                scene, diff_params, update, target, 1, off,
+                min(lanes, n_rays), ray_end=min(off + lanes, n_rays),
+                **rkw,
             )
             acc = jax.tree_util.tree_map(jnp.add, acc, g)
-    jax.block_until_ready(acc)
-    dt_b = time.perf_counter() - t0
-    fwdbwd_rays_per_s = (n * bwd_iters) / dt_b
+        jax.block_until_ready(acc)
+        dt_b = time.perf_counter() - t0
+        n_bwd_rays = n_rays
+
+    fwdbwd_rays_per_s = n_bwd_rays / dt_b
     print(f"# fwd+bwd {fwdbwd_rays_per_s:.0f} rays/s", flush=True)
 
     key = _cfg_key(cfg)

@@ -140,7 +140,8 @@ def unify_tables(bvh):
     return bvh.unified, bvh.nodes.shape[0]
 
 
-def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int):
+def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
+                occl=None, sh_depth=None):
     """Advance every in-flight traversal by at most k iterations.
 
     One fused stepper serves both phases: P_SHADOW lanes early-exit on any
@@ -167,22 +168,40 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int):
     SAME round instead of idling until the next round;
     finished paths park in P_RETIRE for the (outside) film splat.  Only
     trace-shading, which needs table gathers and BSDF sampling, remains a
-    heavyweight out-of-loop transition."""
+    heavyweight out-of-loop transition.
+
+    When `occl`/`sh_depth` are given (the path-replay recorder,
+    integrators/replay.py), each inline resolve also sets
+    occl[lane, sh_depth-1] = shadow-ray occluded, and the function returns
+    (state, occl)."""
     n = st.alive.shape[0]
     ki = jnp.arange(WIDTH, dtype=jnp.int32)
     col8 = ki[None, :]
     alive = st.alive
     cont_p, nee_L = st.cont, st.nee_L
     next_o, next_d = st.next_o, st.next_d
+    record = occl is not None
+    if record:
+        colD = jnp.arange(occl.shape[1], dtype=jnp.int32)[None, :]
 
     def body(_, carry):
-        (cur, sp, stack, t_best, face_best, u_best, v_best,
-         o, d, phase, L) = carry
+        if record:
+            (cur, sp, stack, t_best, face_best, u_best, v_best,
+             o, d, phase, L, occl) = carry
+        else:
+            (cur, sp, stack, t_best, face_best, u_best, v_best,
+             o, d, phase, L) = carry
+            occl = None
 
         # ----- inline shadow resolve (elementwise; see docstring) -----
         finB = alive & (phase == P_SHADOW) & (cur == DONE)
         occluded = face_best >= 0
         L = L + jnp.where((finB & ~occluded)[:, None], nee_L, 0.0)
+        if record:
+            occl = occl | (
+                (colD == (sh_depth - 1)[:, None])
+                & (finB & occluded)[:, None]
+            )
         adv = finB & cont_p
         phase = jnp.where(
             adv, P_TRACE, jnp.where(finB & ~cont_p, P_RETIRE, phase)
@@ -302,18 +321,21 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int):
                 (col8 == colk) & mk, codes[:, kk : kk + 1], head
             )
         stack = jnp.concatenate([head, res[:, WIDTH:]], axis=1)
-        return (nxt, sp_new, stack, t_best, face_best, u_best, v_best,
-                o, d, phase, L)
+        out = (nxt, sp_new, stack, t_best, face_best, u_best, v_best,
+               o, d, phase, L)
+        return out + (occl,) if record else out
 
-    (cur, sp, stack, t, face, u, v, o, d, phase, L) = jax.lax.fori_loop(
-        0, k, body,
-        (st.tr_cur, st.tr_sp, st.tr_stack, st.tr_t, st.tr_face,
-         st.tr_u, st.tr_v, st.tr_o, st.tr_d, st.phase, st.L),
-    )
-    return dataclasses.replace(st,
+    init = (st.tr_cur, st.tr_sp, st.tr_stack, st.tr_t, st.tr_face,
+            st.tr_u, st.tr_v, st.tr_o, st.tr_d, st.phase, st.L)
+    if record:
+        init = init + (occl,)
+    fin = jax.lax.fori_loop(0, k, body, init)
+    (cur, sp, stack, t, face, u, v, o, d, phase, L) = fin[:11]
+    st = dataclasses.replace(st,
         tr_cur=cur, tr_sp=sp, tr_stack=stack, tr_t=t, tr_face=face,
         tr_u=u, tr_v=v, tr_o=o, tr_d=d, phase=phase, L=L,
     )
+    return (st, fin[11]) if record else st
 
 
 def _retire(scene: Scene, st: PersistentState, film, *, rfilter: str):

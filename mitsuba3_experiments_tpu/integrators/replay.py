@@ -1,0 +1,337 @@
+"""Path-replay differentiable rendering: record fast, differentiate cheap.
+
+BASELINE.md's primary metric is forward+backward rays/s, and the round-1/2
+grad path differentiates a rematerialized lockstep scan — every backward
+pass re-runs BVH traversal inside the AD graph.  But the sampling is
+DETACHED (stop-gradient discipline, as the reference's detached-sampling
+path tracer, /root/reference/path.py:238-300): the path geometry — hit
+points, sampled directions, RR decisions — is constant w.r.t. the
+differentiated parameters (material tables, emitter radiance).  So the
+traversal never needs to be inside the AD graph at all:
+
+  1. RECORD (non-differentiable, persistent state machine): trace one
+     camera ray per lane with integrators/persistent.py (no refill) and
+     record, per (lane, path depth): the hit primitive id + barycentrics,
+     and the NEE shadow ray's occlusion bit.  Everything else — camera
+     jitter, emitter pick, BSDF sample, RR — reconstructs from the
+     counter-based RNG (core/rng.py) keyed by (camera index, depth).
+  2. REPLAY (differentiable, no traversal): a lax.scan over depth rebuilds
+     the estimator exactly as the forward did — _make_si from the recorded
+     (prim, u, v), emission MIS, NEE with the recorded visibility, BSDF
+     throughput, RR reweighting — with gradients flowing through the
+     material/emitter table reads only.
+
+The replayed radiance is bit-comparable to render() (same arithmetic, same
+RNG dims — tested), and grads match the scan-AD integrator (tested).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core.records import BSDFFlags, Ray, has_flag
+from ..core.struct import jstruct
+from ..intersect.bvh_jax import _make_si
+from ..render import bsdf as bsdflib
+from ..render import film as filmlib
+from ..render import sensor as sensorlib
+from ..render.emitter import (
+    eval_emitter,
+    eval_environment,
+    pdf_emitter_direction,
+    pdf_environment_direction,
+    sample_emitter_direction,
+)
+from ..scene.types import Scene
+from .common import mis_weight
+from .wavefront import _rand
+from . import persistent as pp
+
+
+@jstruct
+class PathRecord:
+    """Per-(lane, depth) traced-path facts the replay cannot reconstruct."""
+
+    prim: jnp.ndarray  # (N, D) i32 hit face id, -1 = miss/not traced
+    u: jnp.ndarray     # (N, D) f32 barycentric
+    v: jnp.ndarray     # (N, D) f32
+    occl: jnp.ndarray  # (N, D) bool NEE shadow ray occluded
+
+    @staticmethod
+    def empty(n: int, d: int):
+        return PathRecord(
+            prim=jnp.full((n, d), -1, jnp.int32),
+            u=jnp.zeros((n, d), jnp.float32),
+            v=jnp.zeros((n, d), jnp.float32),
+            occl=jnp.zeros((n, d), bool),
+        )
+
+
+def _retire_record(st: pp.PersistentState, occl, sh_depth, colD):
+    """pp._retire for the recorder: resolve shadow completions from the
+    round's LAST stepper iteration (recording their occlusion bit), advance
+    or retire — no film (the replay splats)."""
+    import dataclasses
+
+    finB = st.alive & (st.phase == pp.P_SHADOW) & (st.tr_cur == pp.DONE)
+    occluded = st.tr_face >= 0
+    occl = occl | (
+        (colD == (sh_depth - 1)[:, None]) & (finB & occluded)[:, None]
+    )
+    L = st.L + jnp.where((finB & ~occluded)[:, None], st.nee_L, 0.0)
+    advance = finB & st.cont
+    retire = (st.alive & (st.phase == pp.P_RETIRE)) | (finB & ~st.cont)
+    st = dataclasses.replace(
+        st,
+        L=jnp.where(finB[:, None], L, st.L),
+        alive=st.alive & ~retire,
+        phase=jnp.where(advance, pp.P_TRACE, st.phase),
+    )
+    st = pp._start_traversal(
+        st, advance, st.next_o, st.next_d, jnp.full_like(st.tr_t, jnp.inf)
+    )
+    return st, occl
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_nodes", "max_depth", "rr_depth", "steps",
+                     "n_rounds"),
+    donate_argnums=(1, 2, 3),
+)
+def _run_record(scene: Scene, st: pp.PersistentState, rec: PathRecord,
+                sh_depth, seed, unified, *, n_nodes: int, max_depth: int,
+                rr_depth: int, steps: int, n_rounds: int):
+    colD = jnp.arange(rec.prim.shape[1], dtype=jnp.int32)[None, :]
+
+    def one_round(carry, _):
+        import dataclasses
+
+        st, rec, sh_depth = carry
+        st, occl = _retire_record(st, rec.occl, sh_depth, colD)
+        doneA = st.alive & (st.phase == pp.P_TRACE) & (st.tr_cur == pp.DONE)
+        sel = (colD == (st.depth - 1)[:, None]) & doneA[:, None]
+        rec = dataclasses.replace(
+            rec,
+            prim=jnp.where(sel, st.tr_face[:, None], rec.prim),
+            u=jnp.where(sel, st.tr_u[:, None], rec.u),
+            v=jnp.where(sel, st.tr_v[:, None], rec.v),
+            occl=occl,
+        )
+        sh_depth = jnp.where(doneA, st.depth, sh_depth)
+        st = pp._transition_trace(
+            scene, st, seed, max_depth=max_depth, rr_depth=rr_depth
+        )
+        st, occl = pp._trav_steps(
+            unified, n_nodes, st, steps, occl=rec.occl, sh_depth=sh_depth
+        )
+        rec = dataclasses.replace(rec, occl=occl)
+        return (st, rec, sh_depth), None
+
+    (st, rec, sh_depth), _ = jax.lax.scan(
+        one_round, (st, rec, sh_depth), None, length=n_rounds
+    )
+    return st, rec, sh_depth
+
+
+def record_chunk(scene: Scene, seed, idx0: int, n: int, *, spp: int,
+                 max_depth: int, rr_depth: int, steps: int = 16,
+                 rounds_per_launch: int = 8, ray_end=None):
+    """Trace camera rays [idx0, idx0+n) — one per lane, no refill — and
+    return their PathRecord."""
+    st = pp.PersistentState.empty(n)
+    seed_u = jnp.uint32(seed)
+    if ray_end is None:
+        ray_end = idx0 + n
+    # arm lane i with camera ray idx0 + i (all lanes dead -> rank = lane)
+    st, _ = pp._refill_persistent(
+        scene, st, jnp.uint32(idx0), seed_u, spp=spp,
+        ray_end=jnp.uint32(ray_end),
+    )
+    rec = PathRecord.empty(n, max_depth)
+    sh_depth = jnp.ones((n,), jnp.int32)
+    unified, n_nodes = pp.unify_tables(scene.bvh)
+    while True:
+        st, rec, sh_depth = _run_record(
+            scene, st, rec, sh_depth, seed_u, unified, n_nodes=n_nodes,
+            max_depth=max_depth, rr_depth=rr_depth, steps=steps,
+            n_rounds=rounds_per_launch,
+        )
+        if int(jax.device_get(jnp.sum(st.alive.astype(jnp.int32)))) == 0:
+            break
+    return rec
+
+
+def replay_radiance(scene: Scene, rec: PathRecord, seed, idx0, *, spp: int,
+                    max_depth: int, rr_depth: int, ray_end=None):
+    """Differentiable per-lane radiance from a PathRecord.
+
+    Mirrors pp._transition_trace / the inline shadow resolve bounce for
+    bounce — same formulas, same RNG dimensions — with ray_intersect
+    replaced by the recorded (prim, u, v) and ray_test by the recorded
+    occlusion bit.  Returns (L (N,3), film pos (N,2))."""
+    n = rec.prim.shape[0]
+    mats, tex = scene.materials, scene.textures
+    seed_u = jnp.uint32(seed)
+    idx = jnp.uint32(idx0) + jnp.arange(n, dtype=jnp.uint32)
+    act0 = (
+        jnp.ones((n,), bool) if ray_end is None
+        else idx < jnp.uint32(ray_end)
+    )
+
+    # camera ray (exactly pp._refill_persistent)
+    w, h = scene.camera.resolution
+    pix = idx // jnp.uint32(spp)
+    px = (pix % jnp.uint32(w)).astype(m.Float)
+    py = (pix // jnp.uint32(w)).astype(m.Float)
+    jitter = _rand(seed_u, idx, jnp.zeros_like(idx), 2)
+    pos = jnp.stack([px, py], axis=-1) + jitter
+    ray0 = sensorlib.sample_ray(scene.camera, pos)
+
+    class Ref:  # si_ref stand-in for pdf_emitter_direction
+        __slots__ = ("p",)
+
+        def __init__(self, p):
+            self.p = p
+
+    def bounce(carry, xs):
+        L, f, eta, prev_p, prev_pdf, prev_delta, o, d, act, depth = carry
+        prim, uu, vv, occluded = xs
+
+        si = _make_si(scene, Ray.make(o, d),
+                      jnp.where(prim >= 0, 1.0, jnp.inf), prim, uu, vv)
+        hit = act & si.valid
+
+        # emission at the hit / environment escape (ray-first MIS)
+        ref = Ref(prev_p)
+        gate = act & (prev_pdf > 0.0)
+        em_pdf = pdf_emitter_direction(scene, ref, si, gate & ~prev_delta)
+        mis_hit = jnp.where(prev_delta, 1.0, mis_weight(prev_pdf, em_pdf))
+        L = L + jnp.where(
+            (gate & hit)[:, None],
+            f * eval_emitter(scene, si, hit) * mis_hit[:, None], 0.0,
+        )
+        esc = act & ~si.valid & (prev_pdf > 0.0)
+        env_pdf = pdf_environment_direction(scene, d, esc & ~prev_delta)
+        mis_env = jnp.where(prev_delta, 1.0, mis_weight(prev_pdf, env_pdf))
+        L = L + jnp.where(
+            esc[:, None],
+            f * eval_environment(scene, esc, d) * mis_env[:, None], 0.0,
+        )
+
+        # NEE with recorded visibility
+        cont = hit & (depth < max_depth)
+        base = jnp.uint32(2) + jnp.uint32(6) * (depth - 1).astype(jnp.uint32)
+        flags = bsdflib.bsdf_flags(mats, si.mat_id)
+        active_em = cont & has_flag(flags, BSDFFlags.Smooth)
+        u_em = _rand(seed_u, idx, base, 2)
+        ds, em_weight = sample_emitter_direction(
+            scene, si, u_em, False, active_em
+        )
+        active_em &= ds.pdf != 0.0
+        wo = si.to_local(ds.d)
+        u1 = _rand(seed_u, idx, base + jnp.uint32(2), 1)
+        u2 = _rand(seed_u, idx, base + jnp.uint32(3), 2)
+        bsdf_val, bsdf_pdf, bs, bsdf_weight = bsdflib.eval_pdf_sample(
+            mats, tex, si, wo, u1, u2, cont
+        )
+        mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
+        L = L + jnp.where(
+            (active_em & ~occluded)[:, None],
+            f * bsdf_val * em_weight * mis_em[:, None], 0.0,
+        )
+
+        # BSDF bounce + RR (identical reweighting/decisions as forward)
+        f2 = f * bsdf_weight
+        eta2 = eta * bs.eta
+        fmax = m.max_component(f2)
+        rr_prob = jnp.minimum(fmax * eta2 * eta2, 0.95)
+        rr_active = depth >= rr_depth
+        u_rr = _rand(seed_u, idx, base + jnp.uint32(5), 1)
+        rr_continue = u_rr < jax.lax.stop_gradient(rr_prob)
+        f2 = jnp.where(
+            rr_active[:, None],
+            f2 * m.safe_rcp(jax.lax.stop_gradient(rr_prob))[:, None], f2,
+        )
+        cont2 = cont & (jax.lax.stop_gradient(fmax) != 0.0) & (
+            ~rr_active | rr_continue
+        )
+        ray2 = si.spawn_ray(si.to_world(bs.wo))
+
+        adv = act & cont2
+        carry = (
+            L,
+            jnp.where(adv[:, None], f2, f),
+            jnp.where(adv, eta2, eta),
+            jnp.where(act[:, None], si.p, prev_p),
+            jnp.where(act, bs.pdf, prev_pdf),
+            jnp.where(act, has_flag(bs.sampled_type, BSDFFlags.Delta),
+                      prev_delta),
+            jnp.where(adv[:, None], ray2.o, o),
+            jnp.where(adv[:, None], ray2.d, d),
+            adv,
+            jnp.where(adv, depth + 1, depth),
+        )
+        return carry, None
+
+    init = (
+        jnp.zeros((n, 3), m.Float), jnp.ones((n, 3), m.Float),
+        jnp.ones((n,), m.Float), ray0.o, jnp.ones((n,), m.Float),
+        jnp.ones((n,), bool), ray0.o, ray0.d, act0,
+        jnp.ones((n,), jnp.int32),
+    )
+    xs = (rec.prim.T, rec.u.T, rec.v.T, rec.occl.T)
+    (L, *_), _ = jax.lax.scan(bounce, init, xs)
+    return L, pos, act0
+
+
+def replay_render_grad(scene: Scene, params: dict, update_fn, target,
+                       seed, idx0, n: int, *, spp: int, max_depth: int,
+                       rr_depth: int, rfilter: str = "box",
+                       steps: int = 16, rounds_per_launch: int = 8,
+                       ray_end=None):
+    """One chunk of the fwd+bwd workload: record (fast, no AD), then
+    grad-of-replay w.r.t. `params`.  `update_fn(scene, params) -> scene`
+    rebinds the differentiated tables (scene/params.py::update)."""
+    rec = record_chunk(
+        scene, seed, idx0, n, spp=spp, max_depth=max_depth,
+        rr_depth=rr_depth, steps=steps, rounds_per_launch=rounds_per_launch,
+        ray_end=ray_end,
+    )
+    return _replay_grad_jit(
+        scene, params, rec, target, jnp.uint32(seed), jnp.uint32(idx0),
+        jnp.uint32(idx0 + n if ray_end is None else ray_end),
+        update_fn=update_fn, spp=spp, max_depth=max_depth,
+        rr_depth=rr_depth, rfilter=rfilter,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("update_fn", "spp", "max_depth", "rr_depth",
+                     "rfilter"),
+)
+def _replay_grad_jit(scene, params, rec, target, seed, idx0, ray_end, *,
+                     update_fn, spp: int, max_depth: int, rr_depth: int,
+                     rfilter: str):
+    w, h = scene.camera.resolution
+
+    def loss(p):
+        s = update_fn(scene, p)
+        L, pos, act0 = replay_radiance(
+            s, rec, seed, idx0, spp=spp, max_depth=max_depth,
+            rr_depth=rr_depth, ray_end=ray_end,
+        )
+        film = filmlib.new_film(w, h)
+        film = filmlib.put(
+            film, pos, jnp.where(jnp.isfinite(L), L, 0.0),
+            active=act0, rfilter=rfilter,
+        )
+        img = filmlib.develop(film)
+        msk = (film[..., 3] > 0.0)[..., None]
+        return jnp.sum(jnp.where(msk, (img - target) ** 2, 0.0))
+
+    return jax.grad(loss)(params)
