@@ -3,4 +3,5 @@ from .mesh import (  # noqa: F401
     render_persistent_sharded,
     render_sharded,
     sharded_grad_step,
+    sharded_replay_grad,
 )

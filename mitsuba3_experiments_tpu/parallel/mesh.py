@@ -229,6 +229,15 @@ def sharded_grad_step(scene, params, target, seed, mesh: Mesh,
             return jnp.mean((img - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
+        # psum's TRANSPOSE is itself an all-reduce, so each device's film
+        # cotangent arrives ndev-fold inflated and its grad is ndev x (its
+        # own lanes' partial).  psum/ndev = the exact full gradient (this
+        # is the actual NCCL-all-reduce analog; round 1's "identical by
+        # construction" was wrong — caught by the replay equality test).
+        ndev = jax.lax.psum(1, "dp")
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, "dp") / ndev, grads
+        )
         return loss, grads
 
     shard_fn = jax.shard_map(
@@ -239,3 +248,106 @@ def sharded_grad_step(scene, params, target, seed, mesh: Mesh,
         check_vma=False,
     )
     return shard_fn(scene, target, lanes, params)
+
+
+def sharded_replay_grad(scene, params, target, seed, mesh: Mesh, *,
+                        idx0: int = 0, n_lanes: int = 32768, spp: int,
+                        max_depth: int, rr_depth: int = 4,
+                        rfilter: str = "box", steps: int = 16,
+                        rounds_per_launch: int = 8, ray_end=None):
+    """Multi-chip fwd+bwd on the production path: per device, RECORD a
+    contiguous ray range with the persistent state machine (no AD), then
+    grad-of-REPLAY with the partial films psum'd inside the loss —
+    traversal never enters the AD graph (integrators/replay.py), and the
+    parameter grads come out replicated/all-reduced exactly as
+    sharded_grad_step's.  Returns (loss, grads)."""
+    from ..integrators import replay as rp
+    from ..integrators.persistent import (
+        PersistentState,
+        _refill_persistent,
+        unify_tables,
+    )
+
+    w, h = scene.camera.resolution
+    ndev = mesh.shape["dp"]
+    n = n_lanes * ndev
+    if ray_end is None:
+        ray_end = idx0 + n
+    seed_u = jnp.uint32(seed)
+    unified, n_nodes = unify_tables(scene.bvh)
+
+    starts = jnp.uint32(idx0) + jnp.arange(ndev, dtype=jnp.uint32) \
+        * jnp.uint32(n_lanes)
+    ends = jnp.minimum(starts + jnp.uint32(n_lanes), jnp.uint32(ray_end))
+
+    # ---------------------------- record ----------------------------
+    def dev_arm(scene, st, start, end, seed):
+        st, _ = _refill_persistent(
+            scene, st, start[0], seed, spp=spp, ray_end=end[0]
+        )
+        return st
+
+    arm = jax.jit(jax.shard_map(
+        dev_arm, mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P("dp"), P()),
+        out_specs=P("dp"), check_vma=False,
+    ))
+    st = arm(scene, PersistentState.empty(n), starts, ends, seed_u)
+
+    def dev_record(scene, st, rec, sh_depth, seed, unified):
+        return rp._run_record(
+            scene, st, rec, sh_depth, seed, unified, n_nodes=n_nodes,
+            max_depth=max_depth, rr_depth=rr_depth, steps=steps,
+            n_rounds=rounds_per_launch,
+        )
+
+    rec_fn = jax.jit(
+        jax.shard_map(
+            dev_record, mesh=mesh,
+            in_specs=(P(), P("dp"), P("dp"), P("dp"), P(), P()),
+            out_specs=(P("dp"), P("dp"), P("dp")),
+            check_vma=False,
+        ),
+        donate_argnums=(1, 2, 3),
+    )
+    rec = rp.PathRecord.empty(n, max_depth)
+    sh_depth = jnp.ones((n,), jnp.int32)
+    while True:
+        st, rec, sh_depth = rec_fn(scene, st, rec, sh_depth, seed_u, unified)
+        if int(jnp.sum(st.alive.astype(jnp.int32))) == 0:
+            break
+
+    # ------------------------- replay + grad -------------------------
+    def dev_grad(scene, params, target, rec, start, end):
+        def loss_fn(p):
+            s = scene_update(scene, p)
+            L, pos, act0 = rp.replay_radiance(
+                s, rec, seed_u, start[0], spp=spp, max_depth=max_depth,
+                rr_depth=rr_depth, ray_end=end[0],
+            )
+            film = filmlib.new_film(w, h)
+            film = filmlib.put(
+                film, pos, jnp.where(jnp.isfinite(L), L, 0.0),
+                active=act0, rfilter=rfilter,
+            )
+            film = jax.lax.psum(film, "dp")
+            img = filmlib.develop(film)
+            msk = (film[..., 3] > 0.0)[..., None]
+            return jnp.sum(jnp.where(msk, (img - target) ** 2, 0.0))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # psum-transpose inflation: see sharded_grad_step — psum/ndev is
+        # the exact full gradient
+        ndev = jax.lax.psum(1, "dp")
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, "dp") / ndev, grads
+        )
+        return loss, grads
+
+    grad_fn = jax.jit(jax.shard_map(
+        dev_grad, mesh=mesh,
+        in_specs=(P(), P(), P(), P("dp"), P("dp"), P("dp")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    return grad_fn(scene, params, target, rec, starts, ends)

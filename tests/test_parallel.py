@@ -70,9 +70,16 @@ def test_sharded_grad_step_allreduce(box):
     g = np.asarray(grads["emitters.radiance"])
     assert np.isfinite(float(loss))
     assert np.abs(g).max() > 0
-    # grads are replicated (identical across devices by construction): check
-    # the returned value is fully addressable and consistent
     assert g.shape == (1, 3)
+    # the all-reduced gradient must be mesh-size invariant (the psum
+    # transpose inflates per-device cotangents by ndev; psum/ndev corrects)
+    _, grads4 = sharded_grad_step(
+        box, params, target, jnp.uint32(0), make_mesh(4), integ,
+        spp_per_pass=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads4["emitters.radiance"]), g, rtol=1e-4, atol=1e-6
+    )
 
 
 def test_persistent_sharded_matches_single_device(box):
@@ -94,3 +101,41 @@ def test_persistent_sharded_matches_single_device(box):
                                   rounds_per_launch=4, seed=3)
     )
     np.testing.assert_allclose(img8, img1, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_replay_grad_matches_single_device(box):
+    """Multi-chip record+replay fwd+bwd == single-device replay grads."""
+    from mitsuba3_experiments_tpu.integrators.replay import (
+        replay_render_grad,
+    )
+    from mitsuba3_experiments_tpu.parallel import sharded_replay_grad
+    from mitsuba3_experiments_tpu.scene import update
+
+    w, h = box.camera.resolution
+    spp, depth = 2, 3
+    n = w * h * spp
+    target = jnp.asarray(
+        render(box, PathIntegrator(max_depth=depth), seed=7, spp=spp,
+               rfilter="box")
+    )
+    params = {
+        "materials.base_color": box.materials.base_color,
+        "emitters.radiance": box.emitters.radiance,
+    }
+    g1 = replay_render_grad(
+        box, params, update, target, 4, 0, n, spp=spp, max_depth=depth,
+        rr_depth=2, rfilter="box", steps=8, rounds_per_launch=4,
+    )
+    mesh = make_mesh()
+    per = (n + 7) // 8
+    loss, g8 = sharded_replay_grad(
+        box, params, target, 4, mesh, idx0=0, n_lanes=per, spp=spp,
+        max_depth=depth, rr_depth=2, rfilter="box", steps=8,
+        rounds_per_launch=4, ray_end=n,
+    )
+    assert np.isfinite(float(loss))
+    for k in params:
+        a, b = np.asarray(g1[k]), np.asarray(g8[k])
+        assert np.abs(a).max() > 0
+        np.testing.assert_allclose(b, a, rtol=2e-3,
+                                   atol=2e-4 * max(1e-9, np.abs(a).max()))
