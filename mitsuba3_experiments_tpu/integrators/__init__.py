@@ -13,3 +13,4 @@ from .bdpt import BDPTIntegrator  # noqa: F401
 from .sppm import SPPM  # noqa: F401
 from .ptracer import ParticleTracer  # noqa: F401
 from . import metropolis  # noqa: F401
+from .spectral import SpectralIntegrator, render_spectral  # noqa: F401
