@@ -164,7 +164,7 @@ def worker(cfg):
     else:
         pkw = dict(
             spp=spp, max_depth=depth, rr_depth=4, rfilter="tent",
-            n_lanes=cfg.get("n_lanes", 32768), steps=cfg.get("steps", 16),
+            n_lanes=cfg.get("n_lanes", 65536), steps=cfg.get("steps", 24),
             rounds_per_launch=cfg.get("rpl", 32),
         )
         img = render_persistent(scene, seed=0, **pkw)
@@ -231,36 +231,44 @@ def worker(cfg):
         dt_b = time.perf_counter() - t0
         n_bwd_rays = n * bwd_iters
     else:
-        # production path: record (persistent, no AD) + differentiable
-        # replay with no traversal in the AD graph (integrators/replay.py;
+        # production path: ONE full-frame record pass (persistent machine
+        # with refill — records flush to HBM rows as each path retires, so
+        # record runs at the forward renderer's rate instead of being
+        # straggler-bound per chunk), then differentiable replay over the
+        # record in uniform chunks with no traversal in the AD graph
+        # (integrators/replay.py; record_full == record_chunk and replay
         # grads match the scan-AD integrator — tests/test_replay.py)
         from mitsuba3_experiments_tpu.integrators.replay import (
-            replay_render_grad,
+            record_full,
+            replay_grads_full,
         )
 
         n_rays = n * spp
-        lanes = cfg.get("n_lanes", 32768)
+        lanes = cfg.get("n_lanes", 65536)
+        rchunk = cfg.get("replay_chunk", 131072)
+        pad = ((n_rays + rchunk - 1) // rchunk) * rchunk
         rkw = dict(
-            spp=spp, max_depth=depth, rr_depth=4, rfilter="box",
-            steps=cfg.get("steps", 16),
+            spp=spp, max_depth=depth, rr_depth=4,
+            steps=cfg.get("steps", 24),
             rounds_per_launch=cfg.get("rpl", 32),
         )
-        g = replay_render_grad(
-            scene, diff_params, update, target, 0, 0, min(lanes, n_rays),
-            **rkw,
-        )
+
+        def fwd_bwd(seed):
+            rec = record_full(
+                scene, seed, n_rays, n_lanes=lanes, pad_to=pad, **rkw,
+            )
+            return replay_grads_full(
+                scene, diff_params, update, target, seed, rec, n_rays,
+                chunk=rchunk, spp=spp, max_depth=depth, rr_depth=4,
+                rfilter="box",
+            )
+
+        g = fwd_bwd(0)
         jax.block_until_ready(g)
         print("# fwd+bwd compile done", flush=True)
 
-        acc = g
         t0 = time.perf_counter()
-        for off in range(0, n_rays, lanes):
-            g = replay_render_grad(
-                scene, diff_params, update, target, 1, off,
-                min(lanes, n_rays), ray_end=min(off + lanes, n_rays),
-                **rkw,
-            )
-            acc = jax.tree_util.tree_map(jnp.add, acc, g)
+        acc = fwd_bwd(1)
         jax.block_until_ready(acc)
         dt_b = time.perf_counter() - t0
         n_bwd_rays = n_rays

@@ -165,6 +165,142 @@ def record_chunk(scene: Scene, seed, idx0: int, n: int, *, spp: int,
     return rec
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_nodes", "max_depth", "rr_depth", "steps",
+                     "n_rounds", "spp"),
+    donate_argnums=(1, 2, 3, 4, 5),
+)
+def _run_record_full(scene: Scene, st: pp.PersistentState, loc: PathRecord,
+                     glob: PathRecord, sh_depth, next_ray, seed, ray_end,
+                     unified, *, n_nodes: int, max_depth: int,
+                     rr_depth: int, steps: int, n_rounds: int, spp: int):
+    """Full-frame recorder rounds: the persistent machine WITH refill.
+
+    record_chunk records one camera ray per lane and runs until the LAST
+    lane finishes — a straggler-bound launch repeated n_rays/n_lanes times
+    per frame.  Here lanes record into lane-local rows (exactly as
+    _run_record) and, on retire, FLUSH the finished ray's rows into the
+    frame-sized record at its camera-ray index (4 row scatters per round —
+    latency-bound, ~free), so the lane immediately refills with a fresh
+    ray.  Recording then proceeds at the forward renderer's full rate."""
+    import dataclasses
+
+    colD = jnp.arange(loc.prim.shape[1], dtype=jnp.int32)[None, :]
+    n_pad = glob.prim.shape[0] - 1  # dummy row absorbing non-flush writes
+
+    def one_round(carry, _):
+        st, loc, glob, sh_depth, next_ray = carry
+        was_alive = st.alive
+        st, occl = _retire_record(st, loc.occl, sh_depth, colD)
+        loc = dataclasses.replace(loc, occl=occl)
+
+        # flush rays that just retired into their global rows
+        flush = was_alive & ~st.alive
+        dst = jnp.where(flush, st.idx, jnp.uint32(n_pad))
+        glob = PathRecord(
+            prim=glob.prim.at[dst].set(loc.prim),
+            u=glob.u.at[dst].set(loc.u),
+            v=glob.v.at[dst].set(loc.v),
+            occl=glob.occl.at[dst].set(loc.occl),
+        )
+
+        # record the closest hit for lanes entering shading
+        doneA = st.alive & (st.phase == pp.P_TRACE) & (st.tr_cur == pp.DONE)
+        sel = (colD == (st.depth - 1)[:, None]) & doneA[:, None]
+        loc = dataclasses.replace(
+            loc,
+            prim=jnp.where(sel, st.tr_face[:, None], loc.prim),
+            u=jnp.where(sel, st.tr_u[:, None], loc.u),
+            v=jnp.where(sel, st.tr_v[:, None], loc.v),
+        )
+        sh_depth = jnp.where(doneA, st.depth, sh_depth)
+        st = pp._transition_trace(
+            scene, st, seed, max_depth=max_depth, rr_depth=rr_depth
+        )
+
+        # refill dead lanes; clear their local record rows
+        alive_before = st.alive
+        st, next_ray = pp._refill_persistent(
+            scene, st, next_ray, seed, spp=spp, ray_end=ray_end
+        )
+        took = st.alive & ~alive_before
+        t = took[:, None]
+        loc = PathRecord(
+            prim=jnp.where(t, -1, loc.prim),
+            u=jnp.where(t, 0.0, loc.u),
+            v=jnp.where(t, 0.0, loc.v),
+            occl=jnp.where(t, False, loc.occl),
+        )
+        sh_depth = jnp.where(took, 1, sh_depth)
+
+        st, occl = pp._trav_steps(
+            unified, n_nodes, st, steps, occl=loc.occl, sh_depth=sh_depth
+        )
+        loc = dataclasses.replace(loc, occl=occl)
+        return (st, loc, glob, sh_depth, next_ray), None
+
+    (st, loc, glob, sh_depth, next_ray), _ = jax.lax.scan(
+        one_round, (st, loc, glob, sh_depth, next_ray), None,
+        length=n_rounds,
+    )
+    return st, loc, glob, sh_depth, next_ray
+
+
+def record_full(scene: Scene, seed, n_rays: int, *, spp: int,
+                max_depth: int, rr_depth: int, steps: int = 16,
+                rounds_per_launch: int = 8, n_lanes: int = 32768,
+                pad_to: int | None = None):
+    """Record ALL camera rays [0, n_rays) in one refilled persistent pass.
+
+    Returns a PathRecord of `pad_to` rows (>= n_rays; rows past n_rays stay
+    empty: prim=-1 -> replay treats them as misses and `ray_end` gates
+    their film contribution to zero)."""
+    n_lanes = min(n_lanes, n_rays)
+    rows = max(pad_to or n_rays, n_rays)
+    st = pp.PersistentState.empty(n_lanes)
+    loc = PathRecord.empty(n_lanes, max_depth)
+    glob = PathRecord.empty(rows + 1, max_depth)  # +1 dummy flush row
+    sh_depth = jnp.ones((n_lanes,), jnp.int32)
+    next_ray = jnp.zeros((), jnp.uint32)
+    seed_u = jnp.uint32(seed)
+    unified, n_nodes = pp.unify_tables(scene.bvh)
+    while True:
+        st, loc, glob, sh_depth, next_ray = _run_record_full(
+            scene, st, loc, glob, sh_depth, next_ray, seed_u,
+            jnp.uint32(n_rays), unified, n_nodes=n_nodes,
+            max_depth=max_depth, rr_depth=rr_depth, steps=steps,
+            n_rounds=rounds_per_launch, spp=spp,
+        )
+        n_alive, cursor = jax.device_get(pp._poll(st, next_ray))
+        if int(cursor) >= n_rays and int(n_alive) == 0:
+            break
+    return jax.tree_util.tree_map(lambda a: a[:rows], glob)
+
+
+def replay_grads_full(scene: Scene, params: dict, update_fn, target,
+                      seed, rec: PathRecord, n_rays: int, *, chunk: int,
+                      spp: int, max_depth: int, rr_depth: int,
+                      rfilter: str = "box"):
+    """Grad accumulation over a full-frame PathRecord in uniform chunks
+    (rec must be padded to a multiple of `chunk` — see record_full)."""
+    rows = rec.prim.shape[0]
+    assert rows % chunk == 0, (rows, chunk)
+    acc = None
+    for off in range(0, rows, chunk):
+        sl = jax.tree_util.tree_map(lambda a: a[off:off + chunk], rec)
+        g = _replay_grad_jit(
+            scene, params, sl, target, jnp.uint32(seed), jnp.uint32(off),
+            jnp.uint32(min(off + chunk, n_rays)), update_fn=update_fn,
+            spp=spp, max_depth=max_depth, rr_depth=rr_depth,
+            rfilter=rfilter,
+        )
+        acc = g if acc is None else jax.tree_util.tree_map(
+            jnp.add, acc, g
+        )
+    return acc
+
+
 def replay_radiance(scene: Scene, rec: PathRecord, seed, idx0, *, spp: int,
                     max_depth: int, rr_depth: int, ray_end=None):
     """Differentiable per-lane radiance from a PathRecord.

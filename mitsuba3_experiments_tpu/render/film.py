@@ -30,6 +30,22 @@ def _accum(film, xi, yi, w, value, active):
     ).reshape(film.shape)
 
 
+def _accum_taps(film, taps, value, active):
+    """One scatter-add for ALL filter taps: scatters on this TPU are
+    latency-bound and (within the footprint sizes here) near-independent of
+    row count, so K taps x N lanes as ONE (K*N)-row scatter costs ~1 tap's
+    latency instead of K (measured: retire 5.4 -> dominated by 4 tent
+    scatters before this change; see BENCH.md round-2 profile)."""
+    k = len(taps)
+    xi = jnp.concatenate([t[0] for t in taps])
+    yi = jnp.concatenate([t[1] for t in taps])
+    w = jnp.concatenate([t[2] for t in taps])
+    return _accum(
+        film, xi, yi, w,
+        jnp.tile(value, (k, 1)), jnp.tile(active, k),
+    )
+
+
 def put(film, pos, value, active=None, rfilter: str = "box"):
     """Splat values at continuous film positions.
 
@@ -55,6 +71,7 @@ def put(film, pos, value, active=None, rfilter: str = "box"):
         py = pos[..., 1] - 0.5
         x0 = jnp.floor(px - radius + 1).astype(jnp.int32)
         y0 = jnp.floor(py - radius + 1).astype(jnp.int32)
+        taps = []
         for dx in range(4):
             for dy in range(4):
                 xi = x0 + dx
@@ -63,8 +80,8 @@ def put(film, pos, value, active=None, rfilter: str = "box"):
                 ddy = yi.astype(m.Float) - py
                 wx = jnp.maximum(jnp.exp(alpha * ddx * ddx) - offset, 0.0)
                 wy = jnp.maximum(jnp.exp(alpha * ddy * ddy) - offset, 0.0)
-                film = _accum(film, xi, yi, wx * wy, value, active)
-        return film
+                taps.append((xi, yi, wx * wy))
+        return _accum_taps(film, taps, value, active)
     elif rfilter == "tent":
         # sample position relative to pixel centers at (i+0.5)
         px = pos[..., 0] - 0.5
@@ -73,14 +90,13 @@ def put(film, pos, value, active=None, rfilter: str = "box"):
         y0 = jnp.floor(py).astype(jnp.int32)
         fx = px - x0
         fy = py - y0
+        taps = []
         for dx in (0, 1):
             for dy in (0, 1):
                 wx = jnp.where(dx == 0, 1.0 - fx, fx)
                 wy = jnp.where(dy == 0, 1.0 - fy, fy)
-                film = _accum(
-                    film, x0 + dx, y0 + dy, wx * wy, value, active
-                )
-        return film
+                taps.append((x0 + dx, y0 + dy, wx * wy))
+        return _accum_taps(film, taps, value, active)
     else:
         raise ValueError(f"unknown rfilter {rfilter}")
 

@@ -126,3 +126,70 @@ def test_replay_grad_matches_scan_ad(bvh_scene):
         np.testing.assert_allclose(
             b, a, rtol=5e-3, atol=5e-4 * max(1e-9, np.abs(a).max())
         )
+
+
+def test_record_full_matches_record_chunk(bvh_scene):
+    """record_full (refilled persistent pass, flush-on-retire) must produce
+    bitwise-identical records to record_chunk (one ray per lane): same RNG
+    keying by camera-ray index, same traversal."""
+    from mitsuba3_experiments_tpu.integrators.replay import (
+        record_full,
+        replay_grads_full,
+    )
+
+    scene = bvh_scene
+    w, h = scene.camera.resolution
+    spp, depth = 2, 4
+    n = w * h * spp
+
+    rec_c = record_chunk(
+        scene, 3, 0, n, spp=spp, max_depth=depth, rr_depth=4,
+        steps=8, rounds_per_launch=4,
+    )
+    # n_lanes << n forces many refill cycles through the flush path
+    rec_f = record_full(
+        scene, 3, n, spp=spp, max_depth=depth, rr_depth=4, steps=8,
+        rounds_per_launch=4, n_lanes=256, pad_to=n + 128,
+    )
+    for name in ("prim", "u", "v", "occl"):
+        a = np.asarray(getattr(rec_c, name))
+        b = np.asarray(getattr(rec_f, name))
+        if name in ("prim", "occl"):
+            # discrete facts must agree exactly
+            np.testing.assert_array_equal(b[:n], a, err_msg=name)
+        else:
+            # barycentrics: XLA fuses the triangle test differently at
+            # different lane counts (256 vs 1536) -> ULP-level drift
+            np.testing.assert_allclose(b[:n], a, atol=1e-4, err_msg=name)
+        # padded rows stay empty
+        pad = b[n:]
+        if name == "prim":
+            assert (pad == -1).all()
+        else:
+            assert (pad == 0).all()
+
+    # grads over the padded full record == grads from replay_render_grad
+    target = np.asarray(
+        render(scene, PathIntegrator(max_depth=depth), seed=9, spp=spp,
+               rfilter="box")
+    )
+    params = {
+        "materials.base_color": scene.materials.base_color,
+        "emitters.radiance": scene.emitters.radiance,
+    }
+    g_a = replay_render_grad(
+        scene, params, update, jnp.asarray(target), 3, 0, n,
+        spp=spp, max_depth=depth, rr_depth=4, rfilter="box",
+        steps=8, rounds_per_launch=4,
+    )
+    g_b = replay_grads_full(
+        scene, params, update, jnp.asarray(target), 3, rec_f, n,
+        chunk=(n + 128) // 2, spp=spp, max_depth=depth, rr_depth=4,
+        rfilter="box",
+    )
+    for k in params:
+        a = np.asarray(g_a[k])
+        np.testing.assert_allclose(
+            np.asarray(g_b[k]), a, rtol=1e-3,
+            atol=1e-4 * max(1e-9, np.abs(a).max()),
+        )
