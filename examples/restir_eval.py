@@ -13,6 +13,7 @@ Usage: python examples/restir_eval.py [mode] [frames] [res] [chunk]
 """
 import dataclasses
 import json
+import os
 import sys
 
 import _common  # noqa: F401
@@ -55,6 +56,7 @@ scene, _ = load_dict(cornell_box(res=res, spp=1))
 # the 256-spp reference dominates wall time at 1024^2 — render it once per
 # resolution via the persistent renderer (equality-tested vs render()) and
 # cache to disk so every mode reuses it
+os.makedirs("out", exist_ok=True)
 ref_path = f"out/restir_ref_{res}.npy"
 try:
     ref = np.load(ref_path)
