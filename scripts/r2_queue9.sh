@@ -29,4 +29,11 @@ timeout 3600 python -u metropolis_eval.py 16384 1000 \
   > /root/repo/out/metropolis_tpu.log 2>&1
 cp out/metropolis_metrics.json /root/repo/artifacts/metropolis_tpu_metrics.json 2>/dev/null
 cd /root/repo
+
+# 4. small-n Pallas traversal A/B (BENCH.md: "Small-n A/B is queued") —
+#    the 32k-lane run execution-faulted; close the loop with sizes the
+#    scoped-vmem budget provably fits.
+timeout 3600 python -u scripts/pallas_trav_bench.py \
+  '[{"n":2048,"tile":256},{"n":8192,"tile":256},{"n":16384,"tile":512}]' \
+  > out/pallas_trav_smalln.log 2>&1
 echo QUEUE9_DONE
