@@ -25,9 +25,15 @@ INK = "#3a3a38"
 MUTED = "#8a897f"
 
 metrics = ["bias", "variance", "mse"]
-fig, axes = plt.subplots(1, 3, figsize=(13, 3.6), facecolor="white")
+if any("mabs_bias" in c for c in results.values()):
+    metrics.append("mabs_bias")
+fig, axes = plt.subplots(
+    1, len(metrics), figsize=(4.4 * len(metrics), 3.6), facecolor="white"
+)
 for ax, metric in zip(axes, metrics):
     for ci, (name, curves) in enumerate(results.items()):
+        if metric not in curves:
+            continue
         label = name.split("_", 1)[1] if "_" in name else name
         ax.plot(
             curves[metric], color=COLORS[ci % len(COLORS)], linewidth=2,
@@ -39,7 +45,7 @@ for ax, metric in zip(axes, metrics):
     ax.grid(True, color="#eceae4", linewidth=0.8)
     for s in ax.spines.values():
         s.set_color("#d8d6cc")
-    if metric in ("variance", "mse"):
+    if metric in ("variance", "mse", "mabs_bias"):
         ax.set_yscale("log")
 axes[0].axhline(0.0, color=MUTED, linewidth=0.8, linestyle="--")
 axes[0].legend(fontsize=7, frameon=False, labelcolor=INK)
