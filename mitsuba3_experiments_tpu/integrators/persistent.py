@@ -56,7 +56,7 @@ from ..render.emitter import (
     pdf_environment_direction,
     sample_emitter_direction,
 )
-from ..scene.bvh8 import STACK_DEPTH
+from ..scene.bvh8 import FACE_OFF, LEAF_CAP, LEAF_ROW, STACK_DEPTH
 from ..scene.types import Scene
 from .common import mis_weight
 from .wavefront import _rand
@@ -255,8 +255,10 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
         rank_far = jnp.sum(farther, axis=-1).astype(jnp.int32)
 
         trow = row  # leaf view of the same gathered row
-        frow = jax.lax.bitcast_convert_type(trow[:, 80:88], jnp.int32)
-        for kk in range(WIDTH):
+        frow = jax.lax.bitcast_convert_type(
+            trow[:, FACE_OFF:LEAF_ROW], jnp.int32
+        )
+        for kk in range(LEAF_CAP):
             g9 = trow[:, 9 * kk : 9 * kk + 9]
             v0 = g9[:, 0:3]
             e1 = g9[:, 3:6] - v0

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..core import math as m
 from ..core.records import Ray, SurfaceInteraction
-from ..scene.bvh8 import STACK_DEPTH
+from ..scene.bvh8 import FACE_OFF, LEAF_CAP, LEAF_ROW, STACK_DEPTH
 from ..scene.types import Scene
 DONE = jnp.int32(-1)  # shared with "empty child" code
 WIDTH = 8
@@ -138,8 +138,10 @@ def _traverse(unified, n_nodes: int, o, d, maxt, active,
 
         # --------------- leaf view of the same gathered row ----------------
         trow = row
-        frow = jax.lax.bitcast_convert_type(trow[:, 80:88], jnp.int32)
-        for k in range(WIDTH):
+        frow = jax.lax.bitcast_convert_type(
+            trow[:, FACE_OFF:LEAF_ROW], jnp.int32
+        )
+        for k in range(LEAF_CAP):
             t, u, v, h = _tri_test9(o, d, trow[:, 9 * k : 9 * k + 9], t_best)
             ok = is_leaf & h & (frow[:, k] >= 0)
             t_best = jnp.where(ok, t, t_best)
@@ -211,7 +213,7 @@ BRUTE_FORCE_MAX_SLOTS = 64
 
 
 def _n_tri_slots(scene):
-    return scene.bvh.leaf_tris.shape[0] * WIDTH
+    return scene.bvh.leaf_tris.shape[0] * LEAF_CAP
 
 
 def ray_intersect(scene: Scene, ray: Ray, active=None) -> SurfaceInteraction:
@@ -252,7 +254,7 @@ def ray_intersect_brute(scene: Scene, ray: Ray, active=None) -> SurfaceInteracti
         active = jnp.ones((n,), bool)
     b = scene.bvh
     L = b.leaf_tris.shape[0]
-    tris = b.leaf_tris[:, :72].reshape(L * WIDTH, 3, 3)
+    tris = b.leaf_tris[:, : 9 * LEAF_CAP].reshape(L * LEAF_CAP, 3, 3)
     faces_flat = b.leaf_face.reshape(-1)  # kept alongside the fused rows
     maxt = jnp.where(active, ray.maxt, 0.0)
 

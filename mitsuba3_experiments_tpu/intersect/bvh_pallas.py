@@ -40,7 +40,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..scene.bvh8 import STACK_DEPTH
+from ..scene.bvh8 import LEAF_CAP, STACK_DEPTH
 
 WIDTH = 8
 DONE = -1
@@ -50,16 +50,21 @@ def pack_tables(bvh):
     """BVH8 arrays -> (node_tab, leaf_tab) float tables for the kernel.
 
     node_tab (R, 56): [8 child codes as float values | 48 bounds floats]
-    leaf_tab (L, 80): [72 triangle vertex floats | 8 face ids as floats]
+    leaf_tab (L, 10*LEAF_CAP): [9*LEAF_CAP triangle vertex floats |
+                                LEAF_CAP face ids as floats]
     """
+    from ..scene.bvh8 import FACE_OFF, LEAF_ROW
+
     codes = jax.lax.bitcast_convert_type(
         bvh.nodes[:, 0:8], jnp.int32
     ).astype(jnp.float32)
     node_tab = jnp.concatenate([codes, bvh.nodes[:, 8:56]], axis=1)
     faces = jax.lax.bitcast_convert_type(
-        bvh.leaf_tris[:, 80:88], jnp.int32
+        bvh.leaf_tris[:, FACE_OFF:LEAF_ROW], jnp.int32
     ).astype(jnp.float32)
-    leaf_tab = jnp.concatenate([bvh.leaf_tris[:, 0:72], faces], axis=1)
+    leaf_tab = jnp.concatenate(
+        [bvh.leaf_tris[:, : 9 * LEAF_CAP], faces], axis=1
+    )
     return node_tab, leaf_tab
 
 
@@ -178,8 +183,10 @@ def _kernel(node_ref, leaf_ref, o_ref, d_ref, maxt_ref, active_ref,
         # ---------------- leaf: one-hot row, 8 triangle tests --------------
         leaf_id = jnp.where(is_leaf, -cur - 2, 0)
         trow = _onehot_gather(leaf_ref, leaf_id, n_leaves)
-        frow = jnp.round(trow[:, 72:80]).astype(jnp.int32)
-        for k in range(WIDTH):
+        frow = jnp.round(
+            trow[:, 9 * LEAF_CAP : 10 * LEAF_CAP]
+        ).astype(jnp.int32)
+        for k in range(LEAF_CAP):
             g9 = trow[:, 9 * k : 9 * k + 9]
             v0 = g9[:, 0:3]
             e1 = g9[:, 3:6] - v0

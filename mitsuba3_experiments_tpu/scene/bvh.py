@@ -28,16 +28,24 @@ def _aabb_area(lo, hi):
     return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0])
 
 
-def build_bvh(vertices: np.ndarray, faces: np.ndarray, leaf_size: int = 8) -> BVH:
+def build_bvh(
+    vertices: np.ndarray, faces: np.ndarray, leaf_size: int | None = None
+) -> BVH:
     """Build the packed 8-wide BVH (types.BVH).
 
     Pipeline: binary binned SAH (native C++ builder when available, numpy
     reference otherwise) -> 8-wide collapse + row packing (scene/bvh8.py).
+    leaf_size defaults to (and must match) bvh8.LEAF_CAP — the packed leaf
+    row layout derives from it.
     """
     import jax.numpy as jnp
 
-    from .bvh8 import collapse_to_wide
+    from .bvh8 import LEAF_CAP, collapse_to_wide
     from .native import try_build_bvh_native
+
+    if leaf_size is None:
+        leaf_size = LEAF_CAP
+    assert leaf_size <= LEAF_CAP, (leaf_size, LEAF_CAP)
 
     native = try_build_bvh_native(vertices, faces, leaf_size)
     if native is not None:

@@ -9,23 +9,38 @@ everything one traversal step needs into a single row:
                                    <=-2 leaf row = -code-2)
                            [8:56] 8 x (lo.xyz | hi.xyz) child bounds
                            [56:64] pad
-  leafs (L, 88) f32     —  [0:72] 8 x 9 packed triangle vertices;
-                           [72:80] pad; [80:88] global face ids (bitcast
-                           i32, -1 padding — padded slots hold degenerate
-                           all-zero triangles that never hit)
+  leafs (L, ROW) f32    —  [0:9*LEAF_CAP] packed triangle vertices;
+                           [..:FACE_OFF] pad; [FACE_OFF:ROW] global face
+                           ids (bitcast i32, -1 padding — padded slots
+                           hold degenerate all-zero triangles that never
+                           hit).  LEAF_CAP=8 gives the historical
+                           [0:72 | 72:80 pad | 80:88] = 88-float row.
 
 One internal step = ONE row gather + pure VPU 8-box slab tests; one leaf
-step = ONE row gather + 8 unrolled VPU triangle tests.
+step = ONE row gather + LEAF_CAP unrolled VPU triangle tests.
 Tree depth ~ log8 -> ~3x fewer lockstep iterations than the binary tree.
+
+Because per-lane row gathers on this TPU are latency-bound and
+width-independent (BENCH.md), LEAF_CAP is the iterations-per-ray knob:
+doubling it halves leaf rows (and shaves tree depth) at the cost of wider
+rows (~free) and more unrolled VPU triangle tests per iteration.
+Override with env M3T_LEAF_CAP for A/B runs; layout derives from it.
 """
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
 from .types import BVH
 
 WIDTH = 8
-LEAF_CAP = 8
+LEAF_CAP = int(os.environ.get("M3T_LEAF_CAP", "8"))
+# face ids live past the vertex block, 8-aligned with >=1 float of pad
+# (exactly the historical 72->80 offset at LEAF_CAP=8)
+VERT_FLOATS = 9 * LEAF_CAP
+FACE_OFF = (VERT_FLOATS // 8 + 1) * 8
+LEAF_ROW = FACE_OFF + LEAF_CAP
 EMPTY = -1
 # Traversal stack capacity (intersect/bvh_jax.py uses the same constant).
 # Worst-case stack usage is tree_depth * (WIDTH - 1); collapse_to_wide
@@ -113,14 +128,14 @@ def collapse_to_wide(lo, hi, left, right, first, count, prim_order,
 
     # leaf table (single fused row: verts + bitcast face ids)
     L = max(len(leaf_rows), 1)
-    leaf_tris = np.zeros((L, 88), np.float32)
-    leaf_face = np.full((L, 8), -1, np.int32)
+    leaf_tris = np.zeros((L, LEAF_ROW), np.float32)
+    leaf_face = np.full((L, LEAF_CAP), -1, np.int32)
     for li, (f0, c) in enumerate(leaf_rows):
-        if c > LEAF_CAP:  # builders guarantee <= 8 via median fallback
+        if c > LEAF_CAP:  # builders guarantee <= cap via median fallback
             raise ValueError(f"leaf overflow: {c} > {LEAF_CAP}")
         leaf_tris[li, : 9 * c] = tri_verts_flat[f0 : f0 + c].reshape(-1)
         leaf_face[li, :c] = faces_global[f0 : f0 + c]
-    leaf_tris[:, 80:88] = leaf_face.view(np.float32)
+    leaf_tris[:, FACE_OFF:LEAF_ROW] = leaf_face.view(np.float32)
 
     # degenerate whole-scene-is-one-leaf case: synthesize a root node
     if nn8 == 0:
@@ -135,13 +150,13 @@ def collapse_to_wide(lo, hi, left, right, first, count, prim_order,
             nodes[0, 8 + 6 * k : 8 + 6 * k + 3] = 3e38
             nodes[0, 8 + 6 * k + 3 : 8 + 6 * k + 6] = -3e38
         L = max(len(leaf_rows), 1)
-        leaf_tris = np.zeros((L, 88), np.float32)
-        leaf_face = np.full((L, 8), -1, np.int32)
+        leaf_tris = np.zeros((L, LEAF_ROW), np.float32)
+        leaf_face = np.full((L, LEAF_CAP), -1, np.int32)
         for li, (f0, c) in enumerate(leaf_rows):
             c = min(c, LEAF_CAP)
             leaf_tris[li, : 9 * c] = tri_verts_flat[f0 : f0 + c].reshape(-1)
             leaf_face[li, :c] = faces_global[f0 : f0 + c]
-        leaf_tris[:, 80:88] = leaf_face.view(np.float32)
+        leaf_tris[:, FACE_OFF:LEAF_ROW] = leaf_face.view(np.float32)
 
     # build-time stack guarantee: depth * (WIDTH-1) pushes must fit
     if nn8 > 0:

@@ -150,7 +150,9 @@ class BVH:
     everything a step needs:
       nodes    (NN8, 64) f32 — [0:8] child codes (bitcast i32: >=0 internal
                row, -1 empty, <=-2 leaf row -code-2); [8:56] 8x(lo|hi).
-      leaf_tris (L, 88) f32 — 8 packed triangles (9 floats each, [0:72]),
+      leaf_tris (L, LEAF_ROW) f32 — LEAF_CAP packed triangles (9 floats
+               each; layout derives from bvh8.LEAF_CAP, default 8 giving
+               the historical 88-float row:) [0:72] vertices,
                [80:88] global face ids (bitcast i32, -1 pad; pad slots
                hold degenerate triangles that can never hit).
       leaf_face (L, 8)  i32 — the same face ids as a plain i32 table.
