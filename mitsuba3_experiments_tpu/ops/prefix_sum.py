@@ -46,7 +46,16 @@ def prefix_sum_pallas(x, block: int = 2048, interpret: bool = False):
             carry_ref[0] = jnp.zeros((), x_ref.dtype)
 
         blk = x_ref[...]
-        scanned = jnp.cumsum(blk, axis=0)
+        # intra-block inclusive scan as log2(block) shift-adds: Mosaic has
+        # no cumsum lowering on hardware (works only in interpret mode),
+        # but pad+slice+add are plain VPU ops
+        scanned = blk
+        shift = 1
+        while shift < block:
+            scanned = scanned + jnp.pad(
+                scanned[:-shift], ((shift, 0),)
+            )
+            shift *= 2
         o_ref[...] = scanned + carry_ref[0]
         carry_ref[0] = carry_ref[0] + scanned[-1]
 

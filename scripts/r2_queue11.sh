@@ -13,6 +13,12 @@ for i in $(seq 1 720); do
   sleep 60
 done
 
+# re-run the Pallas prefix-sum hardware check: the first run failed on
+# Mosaic's missing cumsum lowering (fixed with log-step shift-adds in the
+# kernel)
+timeout 1800 python -u scripts/pallas_hw_check.py \
+  > out/pallas_hw_check.log 2>&1
+
 timeout 7200 python -u scripts/leafcap_ab.py 65536 24 \
   > out/leafcap_ab_8.log 2>&1
 M3T_LEAF_CAP=16 timeout 7200 python -u scripts/leafcap_ab.py 65536 24 \
