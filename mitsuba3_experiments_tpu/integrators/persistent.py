@@ -56,13 +56,19 @@ from ..render.emitter import (
     pdf_environment_direction,
     sample_emitter_direction,
 )
-from ..scene.bvh8 import FACE_OFF, LEAF_CAP, LEAF_ROW, STACK_DEPTH
+from ..scene.bvh8 import (
+    FACE_OFF,
+    LEAF_CAP,
+    LEAF_ROW,
+    NODE_BASE,
+    STACK_DEPTH,
+    WIDTH,
+)
 from ..scene.types import Scene
 from .common import mis_weight
 from .wavefront import _rand
 
 DONE = jnp.int32(-1)
-WIDTH = 8
 P_TRACE = 0
 P_SHADOW = 1
 P_RETIRE = 2
@@ -226,8 +232,8 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
             n_nodes + jnp.where(is_leaf, -cur - 2, 0),
         )
         row = jnp.take(unified, row_idx, axis=0)          # (N, 88)
-        codes = jax.lax.bitcast_convert_type(row[:, 0:8], jnp.int32)
-        bb = row[:, 8:56].reshape(n, WIDTH, 6)
+        codes = jax.lax.bitcast_convert_type(row[:, 0:WIDTH], jnp.int32)
+        bb = row[:, NODE_BASE : NODE_BASE + 6 * WIDTH].reshape(n, WIDTH, 6)
         t0 = (bb[:, :, 0:3] - o[:, None, :]) * inv_d[:, None, :]
         t1 = (bb[:, :, 3:6] - o[:, None, :]) * inv_d[:, None, :]
         t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)

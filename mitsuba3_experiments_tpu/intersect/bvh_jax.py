@@ -25,10 +25,16 @@ import jax.numpy as jnp
 
 from ..core import math as m
 from ..core.records import Ray, SurfaceInteraction
-from ..scene.bvh8 import FACE_OFF, LEAF_CAP, LEAF_ROW, STACK_DEPTH
+from ..scene.bvh8 import (
+    FACE_OFF,
+    LEAF_CAP,
+    LEAF_ROW,
+    NODE_BASE,
+    STACK_DEPTH,
+    WIDTH,
+)
 from ..scene.types import Scene
 DONE = jnp.int32(-1)  # shared with "empty child" code
-WIDTH = 8
 
 
 def _tri_test9(o, d, g9, t_best):
@@ -92,8 +98,8 @@ def _traverse(unified, n_nodes: int, o, d, maxt, active,
             is_int, cur, n_nodes + jnp.where(is_leaf, -cur - 2, 0)
         )
         row = jnp.take(unified, row_idx, axis=0)          # (N, 88)
-        codes = jax.lax.bitcast_convert_type(row[:, 0:8], jnp.int32)
-        bb = row[:, 8:56].reshape(n, WIDTH, 6)
+        codes = jax.lax.bitcast_convert_type(row[:, 0:WIDTH], jnp.int32)
+        bb = row[:, NODE_BASE : NODE_BASE + 6 * WIDTH].reshape(n, WIDTH, 6)
         t0 = (bb[:, :, 0:3] - o[:, None, :]) * inv_d[:, None, :]
         t1 = (bb[:, :, 3:6] - o[:, None, :]) * inv_d[:, None, :]
         tmin = jnp.minimum(t0, t1)

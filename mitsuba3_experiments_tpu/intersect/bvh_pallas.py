@@ -55,10 +55,15 @@ def pack_tables(bvh):
     """
     from ..scene.bvh8 import FACE_OFF, LEAF_ROW
 
+    from ..scene.bvh8 import NODE_BASE, WIDTH as BW
+
+    assert BW == 8, "the Pallas kernel is written for the 8-wide layout"
     codes = jax.lax.bitcast_convert_type(
-        bvh.nodes[:, 0:8], jnp.int32
+        bvh.nodes[:, 0:BW], jnp.int32
     ).astype(jnp.float32)
-    node_tab = jnp.concatenate([codes, bvh.nodes[:, 8:56]], axis=1)
+    node_tab = jnp.concatenate(
+        [codes, bvh.nodes[:, NODE_BASE : NODE_BASE + 6 * BW]], axis=1
+    )
     faces = jax.lax.bitcast_convert_type(
         bvh.leaf_tris[:, FACE_OFF:LEAF_ROW], jnp.int32
     ).astype(jnp.float32)

@@ -62,13 +62,18 @@ def build_bvh(
         lo, hi, left, right, first, count, order, tv_flat,
         order.astype(np.int32),
     )
-    nodes_pad = np.zeros((nodes.shape[0], leaf_tris.shape[1]), np.float32)
+    # unified row width = max of node/leaf rows (node rows outgrow leaf
+    # rows at WIDTH=16+cap 8); both pad at the END so decode offsets hold
+    uw = max(nodes.shape[1], leaf_tris.shape[1])
+    nodes_pad = np.zeros((nodes.shape[0], uw), np.float32)
     nodes_pad[:, : nodes.shape[1]] = nodes
+    leafs_pad = np.zeros((leaf_tris.shape[0], uw), np.float32)
+    leafs_pad[:, : leaf_tris.shape[1]] = leaf_tris
     return BVH(
         nodes=jnp.asarray(nodes),
         leaf_tris=jnp.asarray(leaf_tris),
         leaf_face=jnp.asarray(leaf_face),
-        unified=jnp.asarray(np.concatenate([nodes_pad, leaf_tris], axis=0)),
+        unified=jnp.asarray(np.concatenate([nodes_pad, leafs_pad], axis=0)),
     )
 
 

@@ -34,13 +34,17 @@ import numpy as np
 
 from .types import BVH
 
-WIDTH = 8
+WIDTH = int(os.environ.get("M3T_BVH_WIDTH", "8"))
 LEAF_CAP = int(os.environ.get("M3T_LEAF_CAP", "8"))
 # face ids live past the vertex block, 8-aligned with >=1 float of pad
 # (exactly the historical 72->80 offset at LEAF_CAP=8)
 VERT_FLOATS = 9 * LEAF_CAP
 FACE_OFF = (VERT_FLOATS // 8 + 1) * 8
 LEAF_ROW = FACE_OFF + LEAF_CAP
+# node row: WIDTH child codes (8-aligned block) then WIDTH x 6 bounds
+# (historical 8 + 48 = 64-float row at WIDTH=8)
+NODE_BASE = ((WIDTH + 7) // 8) * 8
+NODE_ROW = ((NODE_BASE + 6 * WIDTH + 7) // 8) * 8
 EMPTY = -1
 # Traversal stack capacity (intersect/bvh_jax.py uses the same constant).
 # Worst-case stack usage is tree_depth * (WIDTH - 1); collapse_to_wide
@@ -48,7 +52,9 @@ EMPTY = -1
 # silent overflow would drop subtrees -> missed hits).  The 2M-tri
 # flagship collapses to depth 10 -> 70 slots; 80 leaves headroom and the
 # shift-register stack's cost is streaming bandwidth, ~linear in depth.
-STACK_DEPTH = 80
+STACK_DEPTH = int(os.environ.get(
+    "M3T_STACK_DEPTH", "80" if WIDTH == 8 else str(8 * (WIDTH - 1))
+))
 
 
 def collapse_to_wide(lo, hi, left, right, first, count, prim_order,
@@ -109,8 +115,9 @@ def collapse_to_wide(lo, hi, left, right, first, count, prim_order,
 
     # second pass: encode child codes + bounds
     nn8 = len(wide_children)
-    nodes = np.zeros((max(nn8, 1), 64), np.float32)
+    nodes = np.zeros((max(nn8, 1), NODE_ROW), np.float32)
     codes_arr = np.full((max(nn8, 1), WIDTH), EMPTY, np.int32)
+    B = NODE_BASE
     for wid, roots in enumerate(wide_children):
         for k, r in enumerate(roots):
             if left[r] == -1:
@@ -118,13 +125,13 @@ def collapse_to_wide(lo, hi, left, right, first, count, prim_order,
             else:
                 code = wide_of_binary[r]
             codes_arr[wid, k] = code
-            nodes[wid, 8 + 6 * k : 8 + 6 * k + 3] = lo[r]
-            nodes[wid, 8 + 6 * k + 3 : 8 + 6 * k + 6] = hi[r]
+            nodes[wid, B + 6 * k : B + 6 * k + 3] = lo[r]
+            nodes[wid, B + 6 * k + 3 : B + 6 * k + 6] = hi[r]
         for k in range(len(roots), WIDTH):
             # empty slot: inverted bounds (slab test always misses)
-            nodes[wid, 8 + 6 * k : 8 + 6 * k + 3] = 3e38
-            nodes[wid, 8 + 6 * k + 3 : 8 + 6 * k + 6] = -3e38
-    nodes[:, 0:8] = codes_arr.view(np.float32)
+            nodes[wid, B + 6 * k : B + 6 * k + 3] = 3e38
+            nodes[wid, B + 6 * k + 3 : B + 6 * k + 6] = -3e38
+    nodes[:, 0:WIDTH] = codes_arr.view(np.float32)
 
     # leaf table (single fused row: verts + bitcast face ids)
     L = max(len(leaf_rows), 1)
@@ -142,13 +149,14 @@ def collapse_to_wide(lo, hi, left, right, first, count, prim_order,
         code = make_leaf(0) if not leaf_rows else -2
         codes_arr = np.full((1, WIDTH), EMPTY, np.int32)
         codes_arr[0, 0] = -2
-        nodes = np.zeros((1, 64), np.float32)
-        nodes[0, 0:8] = codes_arr.view(np.float32)
-        nodes[0, 8:11] = lo[0]
-        nodes[0, 11:14] = hi[0]
+        nodes = np.zeros((1, NODE_ROW), np.float32)
+        nodes[0, 0:WIDTH] = codes_arr.view(np.float32)
+        B = NODE_BASE
+        nodes[0, B : B + 3] = lo[0]
+        nodes[0, B + 3 : B + 6] = hi[0]
         for k in range(1, WIDTH):
-            nodes[0, 8 + 6 * k : 8 + 6 * k + 3] = 3e38
-            nodes[0, 8 + 6 * k + 3 : 8 + 6 * k + 6] = -3e38
+            nodes[0, B + 6 * k : B + 6 * k + 3] = 3e38
+            nodes[0, B + 6 * k + 3 : B + 6 * k + 6] = -3e38
         L = max(len(leaf_rows), 1)
         leaf_tris = np.zeros((L, LEAF_ROW), np.float32)
         leaf_face = np.full((L, LEAF_CAP), -1, np.int32)

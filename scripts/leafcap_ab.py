@@ -28,14 +28,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 
 from mitsuba3_experiments_tpu.integrators.persistent import render_persistent
-from mitsuba3_experiments_tpu.scene.bvh8 import LEAF_CAP, LEAF_ROW
+from mitsuba3_experiments_tpu.scene.bvh8 import LEAF_CAP, LEAF_ROW, WIDTH
 from mitsuba3_experiments_tpu.scene.flagship import load_flagship
 
 n_lanes = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
 steps = int(sys.argv[2]) if len(sys.argv) > 2 else 24
 
-print(f"device: {jax.devices()[0]}  LEAF_CAP={LEAF_CAP} (row {LEAF_ROW})",
-      flush=True)
+print(f"device: {jax.devices()[0]}  WIDTH={WIDTH} LEAF_CAP={LEAF_CAP} "
+      f"(row {LEAF_ROW})", flush=True)
 scene, _ = load_flagship(res=(1280, 720), spp=4, tri_budget=2_000_000)
 print(f"bvh: {scene.bvh.nodes.shape[0]} nodes, "
       f"{scene.bvh.leaf_tris.shape[0]} leaf rows, "
@@ -57,6 +57,6 @@ for _ in range(3):
         steps=steps, rounds_per_launch=8,
     ))
     best = min(best, time.perf_counter() - t0)
-print(f"LEAF_CAP={LEAF_CAP} lanes={n_lanes} steps={steps}: "
+print(f"WIDTH={WIDTH} LEAF_CAP={LEAF_CAP} lanes={n_lanes} steps={steps}: "
       f"{best:.2f} s -> {n_rays / best:,.0f} rays/s  "
       f"img mean {img.mean():.6f}", flush=True)

@@ -21,6 +21,13 @@ timeout 1800 python -u scripts/pallas_hw_check.py \
 
 timeout 7200 python -u scripts/leafcap_ab.py 65536 24 \
   > out/leafcap_ab_8.log 2>&1
+
+# host iteration probe (scripts/iters_probe.py): LEAF_CAP moves rows/ray
+# 18.4 -> 18.2 (16) -> 17.5 (32) — internal rows dominate — while
+# WIDTH=16 cuts them to 15.8.  Measure the width axis first, leaf caps
+# as the control.
+M3T_BVH_WIDTH=16 timeout 7200 python -u scripts/leafcap_ab.py 65536 24 \
+  > out/leafcap_ab_w16.log 2>&1
 M3T_LEAF_CAP=16 timeout 7200 python -u scripts/leafcap_ab.py 65536 24 \
   > out/leafcap_ab_16.log 2>&1
 M3T_LEAF_CAP=32 timeout 7200 python -u scripts/leafcap_ab.py 65536 24 \

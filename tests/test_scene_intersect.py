@@ -163,6 +163,10 @@ def test_native_bvh_matches_numpy_builder():
 def test_pallas_traversal_matches_xla(rng_np):
     """bvh_pallas (interpret mode) == bvh_jax._traverse on the sphere scene,
     for both closest-hit and any-hit queries (VERDICT r1 #4)."""
+    from mitsuba3_experiments_tpu.scene import bvh8
+
+    if bvh8.WIDTH != 8:
+        pytest.skip("the Pallas kernel is written for the 8-wide layout")
     from mitsuba3_experiments_tpu.intersect.bvh_jax import _traverse
     from mitsuba3_experiments_tpu.intersect.bvh_pallas import (
         pack_tables,
