@@ -84,8 +84,13 @@ ref_path = (
     else f"out/restir_ref_{scene_name}_{res}.npy"
 )
 try:
-    ref = np.load(ref_path)
-    print(f"reference: loaded {ref_path}")
+    if mode == "dynamic":
+        # dynamic mode renders a per-frame reference inside the loop; the
+        # static cached reference would never be used
+        ref = np.zeros((res, res, 3), np.float32)
+    else:
+        ref = np.load(ref_path)
+        print(f"reference: loaded {ref_path}")
 except FileNotFoundError:
     print("reference render (256 spp)...")
     if jax.devices()[0].platform == "cpu" and chunk == 0:
@@ -125,12 +130,35 @@ for ci, overrides in enumerate(CONFIG_PAIRS[mode]):
                 ),
             )
         img, state = frame_fn(cur_scene, state, jnp.uint32(i))
+        if mode == "dynamic":
+            # the camera moves every frame: a static cached reference would
+            # measure scene divergence, not estimator error — render a
+            # moderate-spp per-frame reference instead
+            if jax.devices()[0].platform == "cpu" and chunk == 0:
+                ref = np.asarray(render(
+                    cur_scene, PathIntegrator(max_depth=8, rr_depth=2),
+                    spp=64,
+                ))
+            else:
+                from mitsuba3_experiments_tpu.integrators.persistent import (
+                    render_persistent,
+                )
+
+                ref = np.asarray(render_persistent(
+                    cur_scene, spp=64, max_depth=8, rr_depth=2,
+                    n_lanes=32768, rounds_per_launch=32,
+                ))
         diff = np.asarray(img) - ref
-        avg += (np.asarray(img) - avg) / (i + 1)
         bias.append(float(diff.mean()))
         var.append(float(np.asarray(img).var()))
         mse_curve.append(float((diff**2).mean()))
-        mabs.append(float(np.abs(avg - ref).mean()))
+        if mode == "dynamic":
+            # per-frame MAE (running-mean bias is meaningless when the
+            # camera moves)
+            mabs.append(float(np.abs(diff).mean()))
+        else:
+            avg += (np.asarray(img) - avg) / (i + 1)
+            mabs.append(float(np.abs(avg - ref).mean()))
         if i % 20 == 0:
             print(f"  config {ci} frame {i}: mse={mse_curve[-1]:.4f} "
                   f"mabs_bias={mabs[-1]:.4f}")
