@@ -47,13 +47,14 @@ def prefix_sum_pallas(x, block: int = 2048, interpret: bool = False):
 
         blk = x_ref[...]
         # intra-block inclusive scan as log2(block) shift-adds: Mosaic has
-        # no cumsum lowering on hardware (works only in interpret mode),
-        # but pad+slice+add are plain VPU ops
+        # no cumsum (and no dynamic_slice from jnp.pad's lowering) on
+        # hardware, but concat of static slices + add are plain VPU ops
         scanned = blk
+        zeros = jnp.zeros_like(blk)
         shift = 1
         while shift < block:
-            scanned = scanned + jnp.pad(
-                scanned[:-shift], ((shift, 0),)
+            scanned = scanned + jnp.concatenate(
+                [zeros[:shift], scanned[:-shift]]
             )
             shift *= 2
         o_ref[...] = scanned + carry_ref[0]
