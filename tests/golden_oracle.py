@@ -16,6 +16,14 @@ round-1 PSSMLT 58% bright) shows up as a cross-renderer mismatch here.
 Scope: diffuse BSDFs + one-sided area emitters + rectangle/cube/mesh shapes
 — exactly the Cornell-box feature set the reference's own golden comparisons
 used (path.py:308-359 renders the Cornell box).
+
+Relationship to `mitsuba3_experiments_tpu/validation/oracle.py`: that oracle
+consumes the framework's *compiled* scene arrays (isolating integrator math:
+NEE + MIS weights, visibility, film), whereas this one starts from the raw
+scene DICT — so it additionally cross-checks the scene compiler itself
+(shape primitives, to_world transforms, fov/fov_axis camera derivation,
+ref-BSDF resolution).  Together the two cover the full load_dict -> render
+pipeline with independent implementations.
 """
 from __future__ import annotations
 
