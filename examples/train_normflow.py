@@ -3,6 +3,12 @@ analog: RealNVP flow on the double spiral (or an image target), NLL descent,
 density/sample visualization dumped as PNG.
 
 Usage: python examples/train_normflow.py [iters] [target={spiral,image}]
+                                         [coupling={rqs,affine}]
+
+Coupling default is "rqs" (neural-spline): on the spiral it reaches the
+affine flow's 10k-iteration NLL in ~1.2k iterations (BENCH.md) — the
+measured fix for RealNVP's soft-arm limitation.  Pass "affine" for the
+reference-parity RealNVP family.
 """
 import sys
 
@@ -17,8 +23,9 @@ from mitsuba3_experiments_tpu.utils import write_png
 
 iters = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
 target = sys.argv[2] if len(sys.argv) > 2 else "spiral"
+coupling = sys.argv[3] if len(sys.argv) > 3 else "rqs"
 
-cfg = nf.FlowConfig(n_couplings=6, hidden=64)
+cfg = nf.FlowConfig(n_couplings=6, hidden=64, coupling=coupling)
 
 if target == "spiral":
     sample_fn = nf.spiral_sample

@@ -78,19 +78,123 @@ class FlowConfig:
     n_couplings: int = 6
     hidden: int = 64
     net_depth: int = 2
+    # coupling family: "affine" = RealNVP scale/shift (the reference's
+    # CouplingLayer, normflow.py:452-564); "rqs" = monotone rational-
+    # quadratic splines (Durkan et al. 2019, Neural Spline Flows) — the
+    # measured fix for the axis-aligned-affine limitation that leaves the
+    # learned double-spiral arms soft (BENCH.md round-2 queue-9 finding:
+    # capacity is NOT the limiter, the coupling family is).
+    coupling: str = "affine"
+    n_bins: int = 8
+    tail_bound: float = 4.0  # spline acts on [-B, B]; identity + unit
+    #                          slope outside (linear tails)
+
+
+def _params_per_out(cfg: FlowConfig) -> int:
+    if cfg.coupling == "rqs":
+        return 3 * cfg.n_bins - 1  # K widths, K heights, K-1 inner derivs
+    return 2  # affine: log-scale + shift
 
 
 def init_flow(key, cfg: FlowConfig):
-    """Alternating-mask affine couplings; each has a scale/shift MLP."""
+    """Alternating-mask couplings; each has a conditioner MLP.  Near-zero
+    init makes every coupling start at (numerically) the identity map for
+    BOTH families: affine -> exp(tanh(0)*4)=1 scale, rqs -> uniform bins +
+    softplus-shifted unit knot derivatives."""
     params = []
     half = cfg.dim - cfg.dim // 2
     for i in range(cfg.n_couplings):
         key, k = jax.random.split(key)
         cin = half if i % 2 == 0 else cfg.dim // 2
-        cout = (cfg.dim - cin) * 2  # scale + shift for the other half
+        cout = (cfg.dim - cin) * _params_per_out(cfg)
         sizes = [cin] + [cfg.hidden] * cfg.net_depth + [cout]
         params.append(init_mlp(k, sizes, scale=1e-2))
     return params
+
+
+# ---------------------------------------------------------------------------
+# monotone rational-quadratic splines (Durkan et al. 2019, eqs. 4-8)
+# ---------------------------------------------------------------------------
+
+_MIN_BIN = 1e-3
+_MIN_DERIV = 1e-3
+# softplus(x + _SP_SHIFT) == 1 at x == 0 -> identity-slope init
+_SP_SHIFT = float(np.log(np.e - 1.0))
+
+
+def _rqs_knots(raw, n_bins: int, B: float):
+    """raw (..., 3K-1) -> (cum_x, cum_y, derivs): knot positions on [-B,B]
+    and K+1 positive knot derivatives (boundary derivs pinned to 1 so the
+    spline meets the unit-slope linear tails C^1-continuously)."""
+    w = jax.nn.softmax(raw[..., :n_bins], axis=-1)
+    h = jax.nn.softmax(raw[..., n_bins : 2 * n_bins], axis=-1)
+    w = _MIN_BIN + (1.0 - _MIN_BIN * n_bins) * w
+    h = _MIN_BIN + (1.0 - _MIN_BIN * n_bins) * h
+    cum_x = jnp.cumsum(w, axis=-1) * (2.0 * B) - B
+    cum_y = jnp.cumsum(h, axis=-1) * (2.0 * B) - B
+    pad = jnp.full(cum_x.shape[:-1] + (1,), -B, cum_x.dtype)
+    cum_x = jnp.concatenate([pad, cum_x], axis=-1)  # (..., K+1)
+    cum_y = jnp.concatenate([pad, cum_y], axis=-1)
+    d_in = _MIN_DERIV + jax.nn.softplus(raw[..., 2 * n_bins :] + _SP_SHIFT)
+    one = jnp.ones(d_in.shape[:-1] + (1,), d_in.dtype)
+    derivs = jnp.concatenate([one, d_in, one], axis=-1)  # (..., K+1)
+    return cum_x, cum_y, derivs
+
+
+def _rqs_bin(cum, v):
+    """Index of the bin containing v (clamped to [0, K-1])."""
+    k = jnp.sum((v[..., None] >= cum[..., 1:-1]).astype(jnp.int32), axis=-1)
+    return k
+
+
+def _rqs_apply(raw, x, n_bins: int, B: float, inverse: bool):
+    """Elementwise monotone RQS on [-B,B] with identity tails.
+    Returns (y, log|dy/dx|) — for inverse=True the log-det is of the
+    inverse map (i.e. -log dy/dx evaluated at the matched point)."""
+    cum_x, cum_y, derivs = _rqs_knots(raw, n_bins, B)
+    inside = (x > -B) & (x < B)
+    xc = jnp.clip(x, -B, B)
+    k = _rqs_bin(cum_y if inverse else cum_x, xc)
+    take = lambda a, i: jnp.take_along_axis(  # noqa: E731
+        a, i[..., None], axis=-1
+    )[..., 0]
+    x_k, x_k1 = take(cum_x, k), take(cum_x, k + 1)
+    y_k, y_k1 = take(cum_y, k), take(cum_y, k + 1)
+    d_k, d_k1 = take(derivs, k), take(derivs, k + 1)
+    w = x_k1 - x_k
+    hgt = y_k1 - y_k
+    s = hgt / w
+    if not inverse:
+        xi = (xc - x_k) / w
+        om = 1.0 - xi
+        num = hgt * (s * xi * xi + d_k * xi * om)
+        den = s + (d_k1 + d_k - 2.0 * s) * xi * om
+        y = y_k + num / den
+        dydx = (
+            s * s * (d_k1 * xi * xi + 2.0 * s * xi * om + d_k * om * om)
+            / (den * den)
+        )
+        ld = jnp.log(dydx)
+    else:
+        yp = xc - y_k
+        c2 = d_k1 + d_k - 2.0 * s
+        a = hgt * (s - d_k) + yp * c2
+        b = hgt * d_k - yp * c2
+        c = -s * yp
+        disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+        xi = 2.0 * c / (-b - jnp.sqrt(disc))
+        xi = jnp.clip(xi, 0.0, 1.0)
+        om = 1.0 - xi
+        y = x_k + xi * w
+        den = s + c2 * xi * om
+        dydx = (
+            s * s * (d_k1 * xi * xi + 2.0 * s * xi * om + d_k * om * om)
+            / (den * den)
+        )
+        ld = -jnp.log(dydx)
+    y = jnp.where(inside, y, x)
+    ld = jnp.where(inside, ld, 0.0)
+    return y, ld
 
 
 def _split(x, parity, dim):
@@ -113,6 +217,27 @@ def _scale_shift(net, cond, n_out):
     return log_s, t
 
 
+def _rqs_params(net, cond, n_out, cfg: FlowConfig):
+    h = apply_mlp(net, cond, hidden_act="gelu").astype(jnp.float32)
+    return h.reshape(h.shape[:-1] + (n_out, 3 * cfg.n_bins - 1))
+
+
+def _couple(net, cond, rest, cfg: FlowConfig, inverse: bool):
+    """Apply one coupling transform to `rest` given `cond`; returns
+    (new_rest, per-sample log-det contribution)."""
+    n_out = rest.shape[-1]
+    if cfg.coupling == "rqs":
+        raw = _rqs_params(net, cond, n_out, cfg)
+        rest, ld = _rqs_apply(
+            raw, rest, cfg.n_bins, cfg.tail_bound, inverse
+        )
+        return rest, jnp.sum(ld, axis=-1)
+    log_s, t = _scale_shift(net, cond, n_out)
+    if inverse:
+        return (rest - t) * jnp.exp(-log_s), -jnp.sum(log_s, axis=-1)
+    return rest * jnp.exp(log_s) + t, jnp.sum(log_s, axis=-1)
+
+
 def flow_forward(params, cfg: FlowConfig, z):
     """base -> target; returns (x, log_det)."""
     ldj = jnp.zeros(z.shape[:-1], jnp.float32)
@@ -120,9 +245,8 @@ def flow_forward(params, cfg: FlowConfig, z):
     for i, net in enumerate(params):
         parity = i % 2
         cond, rest = _split(x, parity, cfg.dim)
-        log_s, t = _scale_shift(net, cond, rest.shape[-1])
-        rest = rest * jnp.exp(log_s) + t
-        ldj = ldj + jnp.sum(log_s, axis=-1)
+        rest, ld = _couple(net, cond, rest, cfg, inverse=False)
+        ldj = ldj + ld
         x = _join(cond, rest, parity, cfg.dim)
     return x, ldj
 
@@ -134,9 +258,8 @@ def flow_inverse(params, cfg: FlowConfig, x):
         net = params[i]
         parity = i % 2
         cond, rest = _split(x, parity, cfg.dim)
-        log_s, t = _scale_shift(net, cond, rest.shape[-1])
-        rest = (rest - t) * jnp.exp(-log_s)
-        ldj = ldj - jnp.sum(log_s, axis=-1)
+        rest, ld = _couple(net, cond, rest, cfg, inverse=True)
+        ldj = ldj + ld
         x = _join(cond, rest, parity, cfg.dim)
     return x, ldj
 

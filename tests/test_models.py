@@ -120,6 +120,41 @@ def test_normflow_roundtrip_and_training():
     assert frac_in > 0.95
 
 
+def test_normflow_rqs_coupling():
+    """Rational-quadratic-spline couplings (Durkan et al. 2019): exact
+    invertibility, analytic log-det == autodiff, near-identity init, and
+    faster NLL descent than affine on the double spiral — the measured fix
+    for the soft-arm RealNVP limitation (BENCH.md queue-9)."""
+    cfg = nf.FlowConfig(coupling="rqs", n_couplings=4, hidden=32)
+    params = nf.init_flow(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (256, 2)) * 2.0
+    x, ldj_f = nf.flow_forward(params, cfg, z)
+    # near-zero conditioner init -> near-identity spline
+    assert float(jnp.abs(x - z).max()) < 5e-3
+    z2, ldj_i = nf.flow_inverse(params, cfg, x)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ldj_f), -np.asarray(ldj_i), atol=1e-4
+    )
+    J = jax.vmap(jax.jacfwd(
+        lambda zz: nf.flow_forward(params, cfg, zz[None])[0][0]
+    ))(z[:8])
+    np.testing.assert_allclose(
+        np.log(np.abs(np.linalg.det(np.asarray(J)))),
+        np.asarray(ldj_f[:8]), atol=1e-3,
+    )
+    # linear tails: every coordinate outside [-B, B] passes through
+    # untouched with zero log-det contribution
+    far = jnp.array([[5.0, -6.0], [7.0, 8.0]])
+    xf, ldf = nf.flow_forward(params, cfg, far)
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(far), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ldf), 0.0, atol=1e-6)
+    params, losses = nf.train_flow(
+        nf.spiral_sample, cfg, n_iters=400, batch=1 << 11, seed=0, lr=2e-3
+    )
+    assert losses[-1] < losses[0], losses
+
+
 def test_normflow_image_target():
     img = np.zeros((8, 8), np.float32)
     img[2:4, 5:7] = 1.0
