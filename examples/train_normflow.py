@@ -42,7 +42,10 @@ else:
         _, pts = distr.sample(s)
         return pts
 
-params, losses = nf.train_flow(sample_fn, cfg, n_iters=iters, batch=1 << 14)
+lr = 3e-3 if coupling == "rqs" else 1e-3
+params, losses = nf.train_flow(
+    sample_fn, cfg, n_iters=iters, batch=1 << 14, lr=lr
+)
 print(f"NLL every 100 it: {[round(l, 3) for l in losses]}")
 
 # density heatmap + samples

@@ -85,8 +85,12 @@ class FlowConfig:
     # learned double-spiral arms soft (BENCH.md round-2 queue-9 finding:
     # capacity is NOT the limiter, the coupling family is).
     coupling: str = "affine"
-    n_bins: int = 8
-    tail_bound: float = 4.0  # spline acts on [-B, B]; identity + unit
+    # rqs resolution (measured on the double spiral, BENCH.md): K=32 bins
+    # over [-3, 3] reaches NLL -0.78 vs -0.60 for K=8/[-4,4] and -0.60 for
+    # affine at 8x the iterations; the unit-square targets occupy ~1 bin at
+    # K=8 so knot resolution, not capacity, had been the limiter.
+    n_bins: int = 32
+    tail_bound: float = 3.0  # spline acts on [-B, B]; identity + unit
     #                          slope outside (linear tails)
 
 
@@ -285,8 +289,19 @@ def flow_sample(params, cfg: FlowConfig, key, n):
 # training (normflow.py:782-816)
 # ---------------------------------------------------------------------------
 
-def make_train_step(cfg: FlowConfig, lr=1e-3):
-    opt = optax.adam(lr)
+def make_train_step(cfg: FlowConfig, lr=1e-3, n_iters=None):
+    """NLL train step.  When `n_iters` is given the lr follows a cosine
+    decay to lr/50 and gradients are clipped at global-norm 5 — the
+    measured cure for the late-training NLL spikes of spline couplings
+    (a large step near a thin bin can blow up a knot derivative; affine
+    flows are less sensitive but benefit too)."""
+    if n_iters is None:
+        opt = optax.adam(lr)
+    else:
+        sched = optax.cosine_decay_schedule(lr, n_iters, alpha=0.02)
+        opt = optax.chain(
+            optax.clip_by_global_norm(5.0), optax.adam(sched)
+        )
 
     @jax.jit
     def step(params, opt_state, batch):
@@ -305,7 +320,7 @@ def train_flow(target_sample_fn, cfg: FlowConfig = FlowConfig(),
     key = jax.random.PRNGKey(seed)
     key, k = jax.random.split(key)
     params = init_flow(k, cfg)
-    opt, step = make_train_step(cfg, lr)
+    opt, step = make_train_step(cfg, lr, n_iters=n_iters)
     opt_state = opt.init(params)
     losses = []
     for i in range(n_iters):

@@ -113,7 +113,10 @@ def test_normflow_roundtrip_and_training():
     params, losses = nf.train_flow(
         nf.spiral_sample, cfg, n_iters=400, batch=1 << 11, seed=0, lr=2e-3
     )
-    assert losses[-1] < losses[0], losses
+    # NLL descends well below the identity-init value (~+1.4 nats); the
+    # every-100-iters curve can plateau before its first sample under the
+    # cosine-decay schedule, so assert a level, not monotonicity
+    assert min(losses) < 0.0, losses
     # samples fall mostly inside the unit square (target support)
     xs, _ = nf.flow_sample(params, cfg, jax.random.PRNGKey(2), 4096)
     frac_in = float(jnp.mean(jnp.all((xs > -0.2) & (xs < 1.2), axis=-1)))
@@ -152,7 +155,7 @@ def test_normflow_rqs_coupling():
     params, losses = nf.train_flow(
         nf.spiral_sample, cfg, n_iters=400, batch=1 << 11, seed=0, lr=2e-3
     )
-    assert losses[-1] < losses[0], losses
+    assert min(losses) < 0.0, losses
 
 
 def test_normflow_image_target():
