@@ -38,7 +38,10 @@ else:
     distr = nf.ImageDistr(img)
 
     def sample_fn(key, n):
-        s = Sampler.create(int(jax.random.randint(key, (), 0, 2**31 - 1)), n)
+        # fold the PRNG key into the counter-based sampler seed on device:
+        # an int() round-trip per iteration costs ~50 ms through the axon
+        # tunnel (BENCH.md dispatch measurement) and would dominate the run
+        s = Sampler.create(key[0] ^ key[1], n)
         _, pts = distr.sample(s)
         return pts
 
