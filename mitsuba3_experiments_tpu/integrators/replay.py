@@ -181,13 +181,14 @@ def _run_record_full(scene: Scene, st: pp.PersistentState, loc: PathRecord,
     lane finishes — a straggler-bound launch repeated n_rays/n_lanes times
     per frame.  Here lanes record into lane-local rows (exactly as
     _run_record) and, on retire, FLUSH the finished ray's rows into the
-    frame-sized record at its camera-ray index (4 row scatters per round —
-    latency-bound, ~free), so the lane immediately refills with a fresh
-    ray.  Recording then proceeds at the forward renderer's full rate."""
+    frame-sized PACKED record (one (N, D, 4) f32 scatter per round) at its
+    camera-ray index, so the lane immediately refills with a fresh ray.
+    Recording then proceeds at the forward renderer's full rate.
+    `glob` is the packed (rows+1, D, 4) array; record_full unpacks it."""
     import dataclasses
 
     colD = jnp.arange(loc.prim.shape[1], dtype=jnp.int32)[None, :]
-    n_pad = glob.prim.shape[0] - 1  # dummy row absorbing non-flush writes
+    n_pad = glob.shape[0] - 1  # dummy row absorbing non-flush writes
 
     def one_round(carry, _):
         st, loc, glob, sh_depth, next_ray = carry
@@ -195,15 +196,23 @@ def _run_record_full(scene: Scene, st: pp.PersistentState, loc: PathRecord,
         st, occl = _retire_record(st, loc.occl, sh_depth, colD)
         loc = dataclasses.replace(loc, occl=occl)
 
-        # flush rays that just retired into their global rows
+        # flush rays that just retired into their global rows — the four
+        # record fields are packed into ONE (N, D, 4) f32 row scatter
+        # (prim bitcast, occl as 0/1): row scatters are latency-bound per
+        # OP, so one wide scatter beats four narrow ones (~2.5 ms/round
+        # measured gap between record_full and the plain forward renderer)
         flush = was_alive & ~st.alive
         dst = jnp.where(flush, st.idx, jnp.uint32(n_pad))
-        glob = PathRecord(
-            prim=glob.prim.at[dst].set(loc.prim),
-            u=glob.u.at[dst].set(loc.u),
-            v=glob.v.at[dst].set(loc.v),
-            occl=glob.occl.at[dst].set(loc.occl),
+        packed = jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(loc.prim, jnp.float32),
+                loc.u,
+                loc.v,
+                loc.occl.astype(jnp.float32),
+            ],
+            axis=-1,
         )
+        glob = glob.at[dst].set(packed)
 
         # record the closest hit for lanes entering shading
         doneA = st.alive & (st.phase == pp.P_TRACE) & (st.tr_cur == pp.DONE)
@@ -260,7 +269,20 @@ def record_full(scene: Scene, seed, n_rays: int, *, spp: int,
     rows = max(pad_to or n_rays, n_rays)
     st = pp.PersistentState.empty(n_lanes)
     loc = PathRecord.empty(n_lanes, max_depth)
-    glob = PathRecord.empty(rows + 1, max_depth)  # +1 dummy flush row
+    # packed global record (+1 dummy flush row); prim=-1 miss rows are
+    # all-bits-one floats in channel 0
+    glob = jnp.tile(
+        jnp.array(
+            [
+                jax.lax.bitcast_convert_type(
+                    jnp.int32(-1), jnp.float32
+                ),
+                0.0, 0.0, 0.0,
+            ],
+            jnp.float32,
+        ),
+        (rows + 1, max_depth, 1),
+    )
     sh_depth = jnp.ones((n_lanes,), jnp.int32)
     next_ray = jnp.zeros((), jnp.uint32)
     seed_u = jnp.uint32(seed)
@@ -275,7 +297,13 @@ def record_full(scene: Scene, seed, n_rays: int, *, spp: int,
         n_alive, cursor = jax.device_get(pp._poll(st, next_ray))
         if int(cursor) >= n_rays and int(n_alive) == 0:
             break
-    return jax.tree_util.tree_map(lambda a: a[:rows], glob)
+    glob = glob[:rows]
+    return PathRecord(
+        prim=jax.lax.bitcast_convert_type(glob[:, :, 0], jnp.int32),
+        u=glob[:, :, 1],
+        v=glob[:, :, 2],
+        occl=glob[:, :, 3] != 0.0,
+    )
 
 
 def replay_grads_full(scene: Scene, params: dict, update_fn, target,
