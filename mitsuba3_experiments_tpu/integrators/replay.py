@@ -309,11 +309,30 @@ def record_full(scene: Scene, seed, n_rays: int, *, spp: int,
 def replay_grads_full(scene: Scene, params: dict, update_fn, target,
                       seed, rec: PathRecord, n_rays: int, *, chunk: int,
                       spp: int, max_depth: int, rr_depth: int,
-                      rfilter: str = "box"):
+                      rfilter: str = "box", fused: bool = True):
     """Grad accumulation over a full-frame PathRecord in uniform chunks
-    (rec must be padded to a multiple of `chunk` — see record_full)."""
+    (rec must be padded to a multiple of `chunk` — see record_full).
+
+    fused=True runs the whole chunk loop as ONE jitted lax.scan over the
+    (n_chunks, chunk, D)-reshaped record: identical math, but the ~50 ms
+    host->device dispatch round trip (BENCH.md, dispatch_bench.py) is paid
+    once instead of once per chunk (28 chunks on the flagship frame =
+    ~1.4 s of pure tunnel latency).  fused=False keeps the per-chunk
+    dispatch loop for A/B."""
     rows = rec.prim.shape[0]
     assert rows % chunk == 0, (rows, chunk)
+    if fused:
+        n_chunks = rows // chunk
+        rec3 = jax.tree_util.tree_map(
+            lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), rec
+        )
+        offs = jnp.arange(n_chunks, dtype=jnp.uint32) * jnp.uint32(chunk)
+        ends = jnp.minimum(offs + jnp.uint32(chunk), jnp.uint32(n_rays))
+        return _replay_grads_fused(
+            scene, params, rec3, target, jnp.uint32(seed), offs, ends,
+            update_fn=update_fn, spp=spp, max_depth=max_depth,
+            rr_depth=rr_depth, rfilter=rfilter,
+        )
     acc = None
     for off in range(0, rows, chunk):
         sl = jax.tree_util.tree_map(lambda a: a[off:off + chunk], rec)
@@ -326,6 +345,31 @@ def replay_grads_full(scene: Scene, params: dict, update_fn, target,
         acc = g if acc is None else jax.tree_util.tree_map(
             jnp.add, acc, g
         )
+    return acc
+
+
+@partial(
+    jax.jit,
+    static_argnames=("update_fn", "spp", "max_depth", "rr_depth",
+                     "rfilter"),
+)
+def _replay_grads_fused(scene, params, rec3, target, seed, offs, ends, *,
+                        update_fn, spp: int, max_depth: int, rr_depth: int,
+                        rfilter: str):
+    """lax.scan of the per-chunk grad (exactly _replay_grad_jit's body)
+    over the chunked record, accumulating grads on device."""
+
+    def one_chunk(acc, xs):
+        sl, idx0, ray_end = xs
+        g = _replay_grad_impl(
+            scene, params, sl, target, seed, idx0, ray_end,
+            update_fn=update_fn, spp=spp, max_depth=max_depth,
+            rr_depth=rr_depth, rfilter=rfilter,
+        )
+        return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+    acc0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+    acc, _ = jax.lax.scan(one_chunk, acc0, (rec3, offs, ends))
     return acc
 
 
@@ -481,6 +525,16 @@ def replay_render_grad(scene: Scene, params: dict, update_fn, target,
 def _replay_grad_jit(scene, params, rec, target, seed, idx0, ray_end, *,
                      update_fn, spp: int, max_depth: int, rr_depth: int,
                      rfilter: str):
+    return _replay_grad_impl(
+        scene, params, rec, target, seed, idx0, ray_end,
+        update_fn=update_fn, spp=spp, max_depth=max_depth,
+        rr_depth=rr_depth, rfilter=rfilter,
+    )
+
+
+def _replay_grad_impl(scene, params, rec, target, seed, idx0, ray_end, *,
+                      update_fn, spp: int, max_depth: int, rr_depth: int,
+                      rfilter: str):
     w, h = scene.camera.resolution
 
     def loss(p):

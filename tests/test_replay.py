@@ -193,3 +193,14 @@ def test_record_full_matches_record_chunk(bvh_scene):
             np.asarray(g_b[k]), a, rtol=1e-3,
             atol=1e-4 * max(1e-9, np.abs(a).max()),
         )
+
+    # the fused lax.scan chunk loop (default) == per-chunk dispatch loop
+    g_c = replay_grads_full(
+        scene, params, update, jnp.asarray(target), 3, rec_f, n,
+        chunk=(n + 128) // 2, spp=spp, max_depth=depth, rr_depth=4,
+        rfilter="box", fused=False,
+    )
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(g_b[k]), np.asarray(g_c[k]), rtol=1e-5, atol=1e-7,
+        )
