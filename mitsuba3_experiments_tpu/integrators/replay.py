@@ -201,6 +201,14 @@ def _run_record_full(scene: Scene, st: pp.PersistentState, loc: PathRecord,
         # (prim bitcast, occl as 0/1): row scatters are latency-bound per
         # OP, so one wide scatter beats four narrow ones (~2.5 ms/round
         # measured gap between record_full and the plain forward renderer)
+        # INVARIANT (ADVICE r2): channel 0 of `packed`/`glob` holds int32
+        # prim ids bit-cast to f32 — subnormal bit patterns for ids < 2^23
+        # and NaN for the -1 miss marker.  Every op touching these arrays
+        # must remain pure data movement (stack/scatter/slice/bitcast):
+        # any arithmetic or select-with-math on channel 0 would flush
+        # subnormals to zero or canonicalize the NaN on TPU, silently
+        # corrupting prim ids.  tests/test_replay.py::
+        # test_record_full_matches_record_chunk guards this bit-exactly.
         flush = was_alive & ~st.alive
         dst = jnp.where(flush, st.idx, jnp.uint32(n_pad))
         packed = jnp.stack(

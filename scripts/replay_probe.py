@@ -44,7 +44,11 @@ def main():
 
     chunks = [int(c) for c in os.environ.get(
         "PROBE_CHUNKS", "131072,262144,524288").split(",")]
-    pad_unit = max(chunks)
+    # pad to the LCM of the chunk list so rows % chunk == 0 holds for every
+    # entry, not only divisors of the max (ADVICE r2)
+    import math
+
+    pad_unit = math.lcm(*chunks)
     pad = ((n_rays + pad_unit - 1) // pad_unit) * pad_unit
 
     # record (compile + timed)
@@ -65,7 +69,11 @@ def main():
                               rr_depth=4, rfilter="box")
         jax.block_until_ready(g)
         t0 = time.perf_counter()
-        g = replay_grads_full(scene, diff_params, update, target, 2, rec,
+        # same seed as the record (1): replay reconstructs camera jitter,
+        # BSDF samples, and RR decisions from the seed, so a mismatched
+        # seed yields garbage gradients (ADVICE r2).  Timing is unaffected
+        # (jit keys on shapes, not values), so no cache-busting is needed.
+        g = replay_grads_full(scene, diff_params, update, target, 1, rec,
                               n_rays, chunk=chunk, spp=spp, max_depth=depth,
                               rr_depth=4, rfilter="box")
         jax.block_until_ready(g)
