@@ -68,10 +68,23 @@ from ..scene.types import Scene
 from .common import mis_weight
 from .wavefront import _rand
 
+import os
+
 DONE = jnp.int32(-1)
 P_TRACE = 0
 P_SHADOW = 1
 P_RETIRE = 2
+# how many leading culled stack entries one pop can skip (elementwise
+# prefix scan depth); 0 disables the t-stack entirely (A/B knob)
+DROP_SCAN = int(os.environ.get("M3T_DROP_SCAN", "4"))
+# the t-stack is a WINDOW over the top of the code stack: only the top
+# TSTACK_W entries carry their push-time t_near (pops are DFS-local, so
+# that is where culls happen); entries revealed from below read -inf =
+# "unknown, never cull" — strictly conservative, always correct
+TSTACK_W = DROP_SCAN + WIDTH if DROP_SCAN else 1
+# spread idle lanes' discarded gather rows across the table (1) vs the
+# round-2 shared dummy row (0) — see the bank-conflict note in _trav_steps
+IDLE_SPREAD = int(os.environ.get("M3T_IDLE_SPREAD", "1"))
 
 
 @jstruct
@@ -87,7 +100,6 @@ class PersistentState:
     prev_pdf: jnp.ndarray   # (N,)
     prev_delta: jnp.ndarray  # (N,) bool
     idx: jnp.ndarray        # (N,) uint32 camera-ray index (RNG lane)
-    pos: jnp.ndarray        # (N, 2) film position
     alive: jnp.ndarray      # (N,) bool
     # pending (set at P_TRACE shading, consumed at P_SHADOW resolve)
     nee_L: jnp.ndarray      # (N, 3) contribution if shadow ray unoccluded
@@ -101,6 +113,7 @@ class PersistentState:
     tr_cur: jnp.ndarray     # (N,) i32 node code (DONE = finished)
     tr_sp: jnp.ndarray      # (N,) i32 stack pointer
     tr_stack: jnp.ndarray   # (N, STACK_DEPTH) i32 shift-register, top = col 0
+    tr_tstack: jnp.ndarray  # (N, TSTACK_W) f32 top-entry t_near (pop cull)
     tr_t: jnp.ndarray       # (N,) best-hit t (init: maxt)
     tr_face: jnp.ndarray    # (N,) i32 best face (-1 none)
     tr_u: jnp.ndarray      # (N,)
@@ -115,12 +128,13 @@ class PersistentState:
             L=z3(), f=jnp.ones((n, 3), m.Float), eta=zf(1.0), depth=zi(1),
             prev_p=z3(), prev_pdf=zf(1.0),
             prev_delta=jnp.ones((n,), bool),
-            idx=jnp.zeros((n,), jnp.uint32), pos=jnp.zeros((n, 2), m.Float),
+            idx=jnp.zeros((n,), jnp.uint32),
             alive=jnp.zeros((n,), bool),
             nee_L=z3(), next_o=z3(), next_d=z3(),
             cont=jnp.zeros((n,), bool), phase=zi(P_TRACE),
             tr_o=z3(), tr_d=z3(), tr_cur=zi(DONE), tr_sp=zi(0),
             tr_stack=jnp.zeros((n, STACK_DEPTH), jnp.int32),
+            tr_tstack=jnp.full((n, TSTACK_W), -jnp.inf, m.Float),
             tr_t=zf(0.0), tr_face=zi(-1), tr_u=zf(), tr_v=zf(),
         )
 
@@ -167,6 +181,16 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
     build time that the collapsed depth fits STACK_DEPTH, so overflow
     cannot occur.
 
+    CULLED-POP SKIP (round 3): a parallel f32 shift-register holds each
+    entry's t_near at push time.  Since the round-3 gather probe shows the
+    row gather is row-THROUGHPUT bound (~12 ns/row — cost scales linearly
+    with lanes), every avoided iteration is a linear win: when popping,
+    the top DROP_SCAN entries whose t_near >= t_best (their whole subtree
+    can no longer improve the hit — also exact for any-hit, where t_best
+    is the shadow segment length) are skipped in the SAME iteration with
+    pure elementwise prefix math, instead of each wasting a full
+    gather+test iteration as in round 2.
+
     Shadow resolve is INLINE: a P_SHADOW lane whose any-hit completes is
     resolved at the top of the next iteration (add the pending NEE
     contribution, flip to P_TRACE, re-arm the stored next path ray) — all
@@ -190,12 +214,15 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
     if record:
         colD = jnp.arange(occl.shape[1], dtype=jnp.int32)[None, :]
 
+    lane_iota = jnp.arange(n, dtype=jnp.int32)
+    total_rows = unified.shape[0]
+
     def body(_, carry):
         if record:
-            (cur, sp, stack, t_best, face_best, u_best, v_best,
+            (cur, sp, stack, tstack, t_best, face_best, u_best, v_best,
              o, d, phase, L, occl) = carry
         else:
-            (cur, sp, stack, t_best, face_best, u_best, v_best,
+            (cur, sp, stack, tstack, t_best, face_best, u_best, v_best,
              o, d, phase, L) = carry
             occl = None
 
@@ -231,6 +258,13 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
             is_int, cur,
             n_nodes + jnp.where(is_leaf, -cur - 2, 0),
         )
+        # idle lanes: SPREAD their (discarded) gather rows across the table
+        # instead of all hitting one dummy row — the round-3 gather probe
+        # measured duplicate indices 1.45x SLOWER than random (bank
+        # conflicts serialize), so a shared dummy row makes idle lanes
+        # actively expensive rather than free.
+        if IDLE_SPREAD:
+            row_idx = jnp.where(live, row_idx, lane_iota % total_rows)
         row = jnp.take(unified, row_idx, axis=0)          # (N, 88)
         codes = jax.lax.bitcast_convert_type(row[:, 0:WIDTH], jnp.int32)
         bb = row[:, NODE_BASE : NODE_BASE + 6 * WIDTH].reshape(n, WIDTH, 6)
@@ -292,76 +326,135 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
 
         descend = is_int & any_child
         want_pop = live & ~early_done & ~descend
-        can_pop = want_pop & (sp > 0)
-        popped = jnp.where(sp > 0, stack[:, 0], DONE)
+        # culled-pop skip: k_drop = length of the leading stack prefix whose
+        # subtree t_near >= t_best (capped at DROP_SCAN); those entries are
+        # skipped in this same iteration with pure elementwise math
+        culled = jnp.ones_like(want_pop)
+        k_drop = jnp.zeros_like(sp)
+        for j in range(DROP_SCAN):
+            culled = culled & (j < sp) & (tstack[:, j] >= t_best)
+            k_drop = k_drop + culled.astype(jnp.int32)
+        k_drop = jnp.where(want_pop, k_drop, 0)
+        can_pop = want_pop & (sp > k_drop)
+        popped = stack[:, 0]
+        for j in range(1, DROP_SCAN + 1):
+            popped = jnp.where(k_drop == j, stack[:, j], popped)
+        popped = jnp.where(can_pop, popped, DONE)
+        del culled
         nxt = jnp.where(
             descend, near_code, jnp.where(want_pop, popped, DONE)
         )
         nxt = jnp.where(live & ~early_done, nxt, DONE)
         sp_new = jnp.where(
             descend, jnp.minimum(sp + n_push, STACK_DEPTH),
-            jnp.where(can_pop, sp - 1, sp),
+            jnp.where(can_pop, sp - k_drop - 1, sp),
         )
         sp_new = jnp.where(nxt == DONE, 0, sp_new)
 
-        # shift-register update: right by n_push on descend, left on pop
-        shift = jnp.where(descend, n_push, 0) - can_pop.astype(jnp.int32)
-        res = stack
-        res = jnp.where(
-            (shift == -1)[:, None],
-            jnp.concatenate(
-                [stack[:, 1:], jnp.full((n, 1), DONE, jnp.int32)], axis=1
-            ),
-            res,
+        # shift-register update (codes + t_near in lockstep): right by
+        # n_push on descend, left by k_drop+1 on pop
+        shift = jnp.where(descend, n_push, 0) - jnp.where(
+            can_pop, k_drop + 1, 0
         )
-        for s in range(1, WIDTH):
-            shifted = jnp.concatenate(
-                [jnp.zeros((n, s), jnp.int32), stack[:, : STACK_DEPTH - s]],
-                axis=1,
+        res, rest = stack, tstack
+        for s in range(1, DROP_SCAN + 2):
+            m_s = (shift == -s)[:, None]
+            res = jnp.where(
+                m_s,
+                jnp.concatenate(
+                    [stack[:, s:], jnp.full((n, s), DONE, jnp.int32)],
+                    axis=1,
+                ),
+                res,
             )
-            res = jnp.where((shift == s)[:, None], shifted, res)
+            if DROP_SCAN:
+                # entries revealed from below the window are unknown (-inf)
+                rest = jnp.where(
+                    m_s,
+                    jnp.concatenate(
+                        [tstack[:, s:],
+                         jnp.full((n, s), -jnp.inf, m.Float)],
+                        axis=1,
+                    ),
+                    rest,
+                )
+        for s in range(1, WIDTH):
+            m_s = (shift == s)[:, None]
+            res = jnp.where(
+                m_s,
+                jnp.concatenate(
+                    [jnp.zeros((n, s), jnp.int32),
+                     stack[:, : STACK_DEPTH - s]],
+                    axis=1,
+                ),
+                res,
+            )
+            if DROP_SCAN:
+                rest = jnp.where(
+                    m_s,
+                    jnp.concatenate(
+                        [jnp.full((n, s), -jnp.inf, m.Float),
+                         tstack[:, : TSTACK_W - s]],
+                        axis=1,
+                    ),
+                    rest,
+                )
         # insert pushed codes at columns 0..n_push-1, nearest at column 0
         head = res[:, :WIDTH]
+        headt = rest[:, :WIDTH] if DROP_SCAN else None
         for kk in range(WIDTH):
             colk = (n_push - 1 - rank_far[:, kk])[:, None]
             mk = (push_mask[:, kk] & descend)[:, None]
-            head = jnp.where(
-                (col8 == colk) & mk, codes[:, kk : kk + 1], head
-            )
+            sel = (col8 == colk) & mk
+            head = jnp.where(sel, codes[:, kk : kk + 1], head)
+            if DROP_SCAN:
+                headt = jnp.where(sel, t_near[:, kk : kk + 1], headt)
         stack = jnp.concatenate([head, res[:, WIDTH:]], axis=1)
-        out = (nxt, sp_new, stack, t_best, face_best, u_best, v_best,
-               o, d, phase, L)
+        if DROP_SCAN:
+            tstack = jnp.concatenate([headt, rest[:, WIDTH:]], axis=1)
+        out = (nxt, sp_new, stack, tstack, t_best, face_best, u_best,
+               v_best, o, d, phase, L)
         return out + (occl,) if record else out
 
-    init = (st.tr_cur, st.tr_sp, st.tr_stack, st.tr_t, st.tr_face,
-            st.tr_u, st.tr_v, st.tr_o, st.tr_d, st.phase, st.L)
+    init = (st.tr_cur, st.tr_sp, st.tr_stack, st.tr_tstack, st.tr_t,
+            st.tr_face, st.tr_u, st.tr_v, st.tr_o, st.tr_d, st.phase, st.L)
     if record:
         init = init + (occl,)
     fin = jax.lax.fori_loop(0, k, body, init)
-    (cur, sp, stack, t, face, u, v, o, d, phase, L) = fin[:11]
+    (cur, sp, stack, tstack, t, face, u, v, o, d, phase, L) = fin[:12]
     st = dataclasses.replace(st,
-        tr_cur=cur, tr_sp=sp, tr_stack=stack, tr_t=t, tr_face=face,
-        tr_u=u, tr_v=v, tr_o=o, tr_d=d, phase=phase, L=L,
+        tr_cur=cur, tr_sp=sp, tr_stack=stack, tr_tstack=tstack, tr_t=t,
+        tr_face=face, tr_u=u, tr_v=v, tr_o=o, tr_d=d, phase=phase, L=L,
     )
-    return (st, fin[11]) if record else st
+    return (st, fin[12]) if record else st
 
 
-def _retire(scene: Scene, st: PersistentState, film, *, rfilter: str):
-    """Splat + free lanes whose path finished (inline shadow resolve in
-    _trav_steps parked them in P_RETIRE); also catch any still-unresolved
-    P_SHADOW completion (a shadow query that finished on the round's LAST
-    stepper iteration) by resolving it here, exactly as the stepper would
-    at its next top-of-loop."""
+def _retire(scene: Scene, st: PersistentState, rayL, *, deferred_pad):
+    """Free lanes whose path finished (inline shadow resolve in _trav_steps
+    parked them in P_RETIRE); also catch any still-unresolved P_SHADOW
+    completion (a shadow query that finished on the round's LAST stepper
+    iteration) by resolving it here, exactly as the stepper would at its
+    next top-of-loop.
+
+    Retired radiance is DEFERRED: instead of a per-round filter splat into
+    the film (4 tent taps, one latency-bound scatter-ADD per round —
+    measured 5.4 ms/round at 32k lanes, BENCH.md round-2 profile), each
+    finished ray scatter-SETs its radiance into a per-ray buffer
+    `rayL[(idx - deferred_pad_offset)]`; every camera ray retires exactly
+    once, so indices are unique (no accumulation semantics needed) and the
+    filter footprint math leaves the hot loop entirely.  The caller splats
+    the whole frame ONCE at the end (render_persistent) — film positions
+    re-derive from the counter-based RNG, so they need not ride the state.
+    `deferred_pad` = (dummy row index, ray-index offset of row 0)."""
+    n_pad, idx0 = deferred_pad
     finB = st.alive & (st.phase == P_SHADOW) & (st.tr_cur == DONE)
     occluded = st.tr_face >= 0
     L = st.L + jnp.where((finB & ~occluded)[:, None], st.nee_L, 0.0)
     advance = finB & st.cont
     retire = (st.alive & (st.phase == P_RETIRE)) | (finB & ~st.cont)
 
-    film = filmlib.put(
-        film, st.pos, jnp.where(jnp.isfinite(L), L, 0.0),
-        active=retire, rfilter=rfilter,
-    )
+    dst = jnp.where(retire, st.idx - idx0, n_pad)
+    rayL = rayL.at[dst].set(jnp.where(jnp.isfinite(L), L, 0.0))
     st = dataclasses.replace(st,
         L=jnp.where(finB[:, None], L, st.L),
         alive=st.alive & ~retire,
@@ -370,7 +463,33 @@ def _retire(scene: Scene, st: PersistentState, film, *, rfilter: str):
     st = _start_traversal(
         st, advance, st.next_o, st.next_d, jnp.full_like(st.tr_t, jnp.inf)
     )
-    return st, film
+    return st, rayL
+
+
+def ray_positions(camera, seed, idx, spp: int):
+    """Film position of camera ray `idx` — pixel corner + RNG jitter,
+    exactly as _refill_persistent armed it (dimension 0 of the lane)."""
+    w, _h = camera.resolution
+    pix = idx // jnp.uint32(spp)
+    px = (pix % jnp.uint32(w)).astype(m.Float)
+    py = (pix // jnp.uint32(w)).astype(m.Float)
+    jitter = _rand(seed, idx, jnp.zeros_like(idx), 2)
+    return jnp.stack([px, py], axis=-1) + jitter
+
+
+@partial(jax.jit, static_argnames=("spp", "rfilter", "w", "h"))
+def splat_deferred(camera, seed, rayL, idx0, n_valid, *, spp: int,
+                   rfilter: str, w: int, h: int):
+    """One whole-frame filter splat of a deferred per-ray radiance buffer
+    (rows = camera rays idx0 .. idx0+len), gated to the first n_valid."""
+    n = rayL.shape[0]
+    idx = jnp.uint32(idx0) + jnp.arange(n, dtype=jnp.uint32)
+    pos = ray_positions(camera, seed, idx, spp)
+    film = filmlib.new_film(w, h)
+    return filmlib.put(
+        film, pos, rayL,
+        active=jnp.arange(n, dtype=jnp.uint32) < n_valid, rfilter=rfilter,
+    )
 
 
 def _transition_trace(scene: Scene, st: PersistentState, seed, *,
@@ -481,17 +600,12 @@ def _refill_persistent(scene: Scene, st: PersistentState, next_ray, seed, *,
     new_idx = next_ray + rank.astype(jnp.uint32)
     take = dead & (new_idx < jnp.uint32(ray_end))
 
-    w, h = scene.camera.resolution
-    pix = new_idx // jnp.uint32(spp)
-    px = (pix % jnp.uint32(w)).astype(m.Float)
-    py = (pix // jnp.uint32(w)).astype(m.Float)
-    jitter = _rand(seed, new_idx, jnp.zeros_like(new_idx), 2)
-    pos = jnp.stack([px, py], axis=-1) + jitter
+    pos = ray_positions(scene.camera, seed, new_idx, spp)
     ray = sensorlib.sample_ray(scene.camera, pos)
 
     n = st.alive.shape[0]
     t3 = take[:, None]
-    st = dataclasses.replace(st, 
+    st = dataclasses.replace(st,
         L=jnp.where(t3, 0.0, st.L),
         f=jnp.where(t3, 1.0, st.f),
         eta=jnp.where(take, 1.0, st.eta),
@@ -500,7 +614,6 @@ def _refill_persistent(scene: Scene, st: PersistentState, next_ray, seed, *,
         prev_pdf=jnp.where(take, 1.0, st.prev_pdf),
         prev_delta=jnp.where(take, True, st.prev_delta),
         idx=jnp.where(take, new_idx, st.idx),
-        pos=jnp.where(t3, pos, st.pos),
         alive=st.alive | take,
         nee_L=jnp.where(t3, 0.0, st.nee_L),
         cont=jnp.where(take, False, st.cont),
@@ -513,17 +626,21 @@ def _refill_persistent(scene: Scene, st: PersistentState, next_ray, seed, *,
 
 @partial(
     jax.jit,
-    static_argnames=("n_nodes", "spp", "max_depth", "rr_depth", "rfilter",
-                     "steps", "n_rounds"),
+    static_argnames=("n_nodes", "spp", "max_depth", "rr_depth", "steps",
+                     "n_rounds"),
     donate_argnums=(1, 2, 3),
 )
-def _run_persistent(scene: Scene, st: PersistentState, film, next_ray,
-                    seed, ray_end, unified, *, n_nodes: int, spp: int,
-                    max_depth: int, rr_depth: int, rfilter: str, steps: int,
+def _run_persistent(scene: Scene, st: PersistentState, rayL, next_ray,
+                    seed, ray_end, unified, idx0, *, n_nodes: int, spp: int,
+                    max_depth: int, rr_depth: int, steps: int,
                     n_rounds: int):
+    """`rayL` is the deferred per-ray radiance buffer (rows + 1 dummy);
+    `idx0` the camera-ray index of its row 0 (device offset when sharded)."""
+    n_pad = jnp.uint32(rayL.shape[0] - 1)
+
     def one_round(carry, _):
-        st, film, next_ray = carry
-        st, film = _retire(scene, st, film, rfilter=rfilter)
+        st, rayL, next_ray = carry
+        st, rayL = _retire(scene, st, rayL, deferred_pad=(n_pad, idx0))
         st = _transition_trace(
             scene, st, seed, max_depth=max_depth, rr_depth=rr_depth
         )
@@ -531,12 +648,12 @@ def _run_persistent(scene: Scene, st: PersistentState, film, next_ray,
             scene, st, next_ray, seed, spp=spp, ray_end=ray_end
         )
         st = _trav_steps(unified, n_nodes, st, steps)
-        return (st, film, next_ray), None
+        return (st, rayL, next_ray), None
 
-    (st, film, next_ray), _ = jax.lax.scan(
-        one_round, (st, film, next_ray), None, length=n_rounds
+    (st, rayL, next_ray), _ = jax.lax.scan(
+        one_round, (st, rayL, next_ray), None, length=n_rounds
     )
-    return st, film, next_ray
+    return st, rayL, next_ray
 
 
 @jax.jit
@@ -552,24 +669,32 @@ def render_persistent(scene: Scene, seed: int = 0, spp: int = 16,
 
     `steps` bounds traversal iterations per round; `rounds_per_launch`
     rounds scan inside each dispatch (keep steps*rounds_per_launch's round
-    time under the ~60 s axon execution watchdog)."""
+    time under the ~60 s axon execution watchdog).
+
+    Film accumulation is deferred (see _retire): rounds scatter-SET each
+    finished ray's radiance into `rayL`; the filter splat happens once per
+    frame here."""
     w, h = scene.camera.resolution
     n_total = w * h * spp
     n_lanes = min(n_lanes, n_total)
 
     seed_u = jnp.uint32(seed)
-    film = filmlib.new_film(w, h)
+    rayL = jnp.zeros((n_total + 1, 3), m.Float)
     st = PersistentState.empty(n_lanes)
     next_ray = jnp.zeros((), jnp.uint32)
     unified, n_nodes = unify_tables(scene.bvh)
+    idx0 = jnp.uint32(0)
     while True:
-        st, film, next_ray = _run_persistent(
-            scene, st, film, next_ray, seed_u, jnp.uint32(n_total),
-            unified, n_nodes=n_nodes, spp=spp, max_depth=max_depth,
-            rr_depth=rr_depth, rfilter=rfilter, steps=steps,
-            n_rounds=rounds_per_launch,
+        st, rayL, next_ray = _run_persistent(
+            scene, st, rayL, next_ray, seed_u, jnp.uint32(n_total),
+            unified, idx0, n_nodes=n_nodes, spp=spp, max_depth=max_depth,
+            rr_depth=rr_depth, steps=steps, n_rounds=rounds_per_launch,
         )
         n_alive, cursor = jax.device_get(_poll(st, next_ray))
         if int(cursor) >= n_total and int(n_alive) == 0:
             break
+    film = splat_deferred(
+        scene.camera, seed_u, rayL[:n_total], idx0, jnp.uint32(n_total),
+        spp=spp, rfilter=rfilter, w=w, h=h,
+    )
     return filmlib.develop(film)

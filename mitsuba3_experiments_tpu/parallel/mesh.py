@@ -140,14 +140,14 @@ def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
                               rounds_per_launch: int = 8):
     """Multi-chip persistent-wavefront render: each device runs its own
     incremental-traversal state machine (integrators/persistent.py) over an
-    owned contiguous slice of the global ray stream; partial films psum at
-    develop.  RNG is keyed by global ray index, so the result equals the
+    owned contiguous slice of the global ray stream; each device splats its
+    deferred per-ray radiance slice once at the end, films psum at develop.
+    RNG is keyed by global ray index, so the result equals the
     single-device renderer up to splat-order float noise."""
-    from jax.sharding import NamedSharding
-
     from ..integrators.persistent import (
         PersistentState,
         _run_persistent,
+        splat_deferred,
         unify_tables,
     )
 
@@ -158,8 +158,9 @@ def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
     n_lanes = min(n_lanes, per)
 
     st = PersistentState.empty(n_lanes * ndev)
-    films = jnp.zeros((ndev, h, w, 4), m.Float)
-    cursors = jnp.arange(ndev, dtype=jnp.uint32) * jnp.uint32(per)
+    rayLs = jnp.zeros((ndev, per + 1, 3), m.Float)
+    offsets = jnp.arange(ndev, dtype=jnp.uint32) * jnp.uint32(per)
+    cursors = offsets
     ray_end = jnp.minimum(
         (jnp.arange(ndev, dtype=jnp.uint32) + 1) * jnp.uint32(per),
         jnp.uint32(n_total),
@@ -167,20 +168,20 @@ def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
 
     unified, n_nodes = unify_tables(scene.bvh)
 
-    def per_device(scene, st, film, next_ray, rend, seed, unified):
-        st, f, nr = _run_persistent(
-            scene, st, film[0], next_ray[0], seed, rend[0], unified,
-            n_nodes=n_nodes, spp=spp, max_depth=max_depth,
-            rr_depth=rr_depth, rfilter=rfilter, steps=steps,
-            n_rounds=rounds_per_launch,
+    def per_device(scene, st, rayL, next_ray, rend, off, seed, unified):
+        st, rl, nr = _run_persistent(
+            scene, st, rayL[0], next_ray[0], seed, rend[0], unified,
+            off[0], n_nodes=n_nodes, spp=spp, max_depth=max_depth,
+            rr_depth=rr_depth, steps=steps, n_rounds=rounds_per_launch,
         )
-        return st, f[None], nr[None]
+        return st, rl[None], nr[None]
 
     shard_fn = jax.jit(
         jax.shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"), P(), P()),
+            in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                      P(), P()),
             out_specs=(P("dp"), P("dp"), P("dp")),
             check_vma=False,
         ),
@@ -189,14 +190,22 @@ def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
 
     seed_u = jnp.uint32(seed)
     while True:
-        st, films, cursors = shard_fn(
-            scene, st, films, cursors, ray_end, seed_u, unified
+        st, rayLs, cursors = shard_fn(
+            scene, st, rayLs, cursors, ray_end, offsets, seed_u, unified
         )
         n_alive = int(jnp.sum(st.alive.astype(jnp.int32)))
         done = bool(jnp.all(cursors >= ray_end))
         if done and n_alive == 0:
             break
-    return filmlib.develop(jnp.sum(films, axis=0))
+    # develop-time (once per frame): stitch the owned slices back into the
+    # global per-ray buffer and splat.  Positions re-derive from the RNG,
+    # so this equals the single-device splat exactly.
+    rayL = rayLs[:, :per].reshape(ndev * per, 3)[:n_total]
+    film = splat_deferred(
+        scene.camera, seed_u, rayL, jnp.uint32(0), jnp.uint32(n_total),
+        spp=spp, rfilter=rfilter, w=w, h=h,
+    )
+    return filmlib.develop(film)
 
 
 @partial(jax.jit, static_argnames=("integrator", "spp_per_pass", "mesh"))

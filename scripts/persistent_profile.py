@@ -35,20 +35,22 @@ n_total = 1280 * 720 * 4
 # build a realistic mid-render state: run a few fused rounds first
 from mitsuba3_experiments_tpu.render import film as filmlib
 
-film = filmlib.new_film(1280, 720)
+rayL = jnp.zeros((n_total + 1, 3), jnp.float32)
 st = pp.PersistentState.empty(n_lanes)
 next_ray = jnp.zeros((), jnp.uint32)
 seed = jnp.uint32(7)
-st, film, next_ray = pp._run_persistent(
-    scene, st, film, next_ray, seed, jnp.uint32(n_total), unified,
-    n_nodes=n_nodes, spp=4, max_depth=8, rr_depth=4, rfilter="tent",
+st, rayL, next_ray = pp._run_persistent(
+    scene, st, rayL, next_ray, seed, jnp.uint32(n_total), unified,
+    jnp.uint32(0), n_nodes=n_nodes, spp=4, max_depth=8, rr_depth=4,
     steps=steps, n_rounds=12,
 )
 jax.block_until_ready(st.alive)
 print("# state warmed; alive:", int(jnp.sum(st.alive)), flush=True)
 
 stepper = jax.jit(partial(pp._trav_steps, k=steps), static_argnames=("n_nodes",))
-trans_b = jax.jit(partial(pp._retire, rfilter="tent"))
+trans_b = jax.jit(partial(
+    pp._retire, deferred_pad=(jnp.uint32(n_total), jnp.uint32(0))
+))
 trans_a = jax.jit(partial(pp._transition_trace, max_depth=8, rr_depth=4))
 refill = jax.jit(partial(pp._refill_persistent, spp=4))
 
@@ -75,7 +77,7 @@ stepper1 = jax.jit(partial(pp._trav_steps, k=1), static_argnames=("n_nodes",))
 t_no = timeit("noop (dispatch+state)", noop, st)
 t_s1 = timeit("stepper x1", lambda s: stepper1(unified, n_nodes=n_nodes, st=s), st)
 t_step = timeit("stepper x%d" % steps, lambda s: stepper(unified, n_nodes=n_nodes, st=s), st)
-t_b = timeit("retire", lambda s: trans_b(scene, s, film)[0], st)
+t_b = timeit("retire", lambda s: trans_b(scene, s, rayL)[0], st)
 t_a = timeit("transition_trace", lambda s: trans_a(scene, s, seed), st)
 t_r = timeit("refill", lambda s: refill(scene, s, next_ray, seed, ray_end=jnp.uint32(n_total))[0], st)
 print(f"# per-iteration stepper cost: {t_step/steps:.3f} ms "

@@ -43,13 +43,13 @@ scene = load_flagship(res=(1280, 720), spp=4, tri_budget=2_000_000)[0]
 unified, n_nodes = pp.unify_tables(scene.bvh)
 n_total = 1280 * 720 * 4
 
-film = filmlib.new_film(1280, 720)
+rayL = jnp.zeros((n_total + 1, 3), jnp.float32)
 st = pp.PersistentState.empty(n_lanes)
 next_ray = jnp.zeros((), jnp.uint32)
 seed = jnp.uint32(7)
-st, film, next_ray = pp._run_persistent(
-    scene, st, film, next_ray, seed, jnp.uint32(n_total), unified,
-    n_nodes=n_nodes, spp=4, max_depth=8, rr_depth=4, rfilter="tent",
+st, rayL, next_ray = pp._run_persistent(
+    scene, st, rayL, next_ray, seed, jnp.uint32(n_total), unified,
+    jnp.uint32(0), n_nodes=n_nodes, spp=4, max_depth=8, rr_depth=4,
     steps=steps, n_rounds=12,
 )
 jax.block_until_ready(st.alive)
