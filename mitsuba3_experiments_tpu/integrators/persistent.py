@@ -75,8 +75,12 @@ P_TRACE = 0
 P_SHADOW = 1
 P_RETIRE = 2
 # how many leading culled stack entries one pop can skip (elementwise
-# prefix scan depth); 0 disables the t-stack entirely (A/B knob)
-DROP_SCAN = int(os.environ.get("M3T_DROP_SCAN", "4"))
+# prefix scan depth); DEFAULT 0 = disabled: the windowed t-stack was
+# measured a NET LOSS on the flagship (188k vs 242k rays/s fwd at
+# 65536/24) — the host probe (scripts/cullpop_probe.py) shows culled pops
+# are only 9-13% of iterations, less than the extra shift-variant cost.
+# Kept as an A/B knob for scenes with heavier overlap.
+DROP_SCAN = int(os.environ.get("M3T_DROP_SCAN", "0"))
 # the t-stack is a WINDOW over the top of the code stack: only the top
 # TSTACK_W entries carry their push-time t_near (pops are DFS-local, so
 # that is where culls happen); entries revealed from below read -inf =
