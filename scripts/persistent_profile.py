@@ -45,7 +45,11 @@ st, rayL, next_ray = pp._run_persistent(
     steps=steps, n_rounds=12,
 )
 jax.block_until_ready(st.alive)
-print("# state warmed; alive:", int(jnp.sum(st.alive)), flush=True)
+n_alive = int(jnp.sum(st.alive))
+n_live = int(jnp.sum(st.alive & (st.tr_cur != pp.DONE)))
+ph = [int(jnp.sum(st.alive & (st.phase == p))) for p in (0, 1, 2)]
+print(f"# state warmed; alive {n_alive}  in-flight {n_live} "
+      f"({100*n_live/max(n_alive,1):.0f}%)  phase T/S/R {ph}", flush=True)
 
 stepper = jax.jit(partial(pp._trav_steps, k=steps), static_argnames=("n_nodes",))
 trans_b = jax.jit(partial(
@@ -84,3 +88,17 @@ print(f"# per-iteration stepper cost: {t_step/steps:.3f} ms "
       f"(marginal {(t_step - t_s1) / (steps - 1):.3f} ms, "
       f"noop baseline {t_no:.2f} ms)", flush=True)
 print(f"# round = stepper {t_step:.1f} + transitions {t_a+t_b:.1f} + refill {t_r:.1f} ms", flush=True)
+
+
+# occupancy decay across one round: fraction of lanes still traversing
+# after each stepper iteration (idle lanes still pay the ~12.3 ns/row
+# gather, so the area above this curve is the round's wasted gather rows)
+occ = []
+s2 = st
+for _ in range(steps):
+    s2 = stepper1(unified, n_nodes=n_nodes, st=s2)
+    occ.append(int(jnp.sum(s2.alive & (s2.tr_cur != pp.DONE))))
+tot = max(int(jnp.sum(st.alive)), 1)
+print("# occupancy/iter:", " ".join(f"{o/tot:.2f}" for o in occ), flush=True)
+waste = 1.0 - sum(occ) / (len(occ) * tot)
+print(f"# idle-lane share of round gather rows: {100*waste:.0f}%", flush=True)
