@@ -52,7 +52,7 @@ from ..render import sensor as sensorlib
 from ..render.emitter import (
     eval_emitter,
     eval_environment,
-    pdf_emitter_direction,
+    pdf_emitter_direction_packed,
     pdf_environment_direction,
     sample_emitter_direction,
 )
@@ -506,13 +506,17 @@ def _transition_trace(scene: Scene, st: PersistentState, seed, *,
 
     ray = Ray.make(st.tr_o, st.tr_d)
     t_out = jnp.where(st.tr_face >= 0, st.tr_t, jnp.inf)
-    si = _make_si(scene, ray, t_out, st.tr_face, st.tr_u, st.tr_v)
+    si, si_row = _make_si(scene, ray, t_out, st.tr_face, st.tr_u, st.tr_v,
+                          return_row=True)
     hit = doneA & si.valid
 
     # ---------------- emission at the hit (ray-first MIS) ----------------
     ref = SimpleNamespace(p=st.prev_p)
     gate = doneA & (st.prev_pdf > 0.0)
-    em_pdf = pdf_emitter_direction(scene, ref, si, gate & ~st.prev_delta)
+    em_pdf = pdf_emitter_direction_packed(
+        scene, ref, si, si_row[:, 27], si_row[:, 28],
+        gate & ~st.prev_delta,
+    )
     mis_hit = jnp.where(st.prev_delta, 1.0, mis_weight(st.prev_pdf, em_pdf))
     L = st.L + jnp.where(
         (gate & hit)[:, None],

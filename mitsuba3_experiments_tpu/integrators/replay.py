@@ -41,7 +41,7 @@ from ..render import sensor as sensorlib
 from ..render.emitter import (
     eval_emitter,
     eval_environment,
-    pdf_emitter_direction,
+    pdf_emitter_direction_packed,
     pdf_environment_direction,
     sample_emitter_direction,
 )
@@ -417,14 +417,18 @@ def replay_radiance(scene: Scene, rec: PathRecord, seed, idx0, *, spp: int,
         L, f, eta, prev_p, prev_pdf, prev_delta, o, d, act, depth = carry
         prim, uu, vv, occluded = xs
 
-        si = _make_si(scene, Ray.make(o, d),
-                      jnp.where(prim >= 0, 1.0, jnp.inf), prim, uu, vv)
+        si, si_row = _make_si(scene, Ray.make(o, d),
+                              jnp.where(prim >= 0, 1.0, jnp.inf), prim,
+                              uu, vv, return_row=True)
         hit = act & si.valid
 
         # emission at the hit / environment escape (ray-first MIS)
         ref = Ref(prev_p)
         gate = act & (prev_pdf > 0.0)
-        em_pdf = pdf_emitter_direction(scene, ref, si, gate & ~prev_delta)
+        em_pdf = pdf_emitter_direction_packed(
+            scene, ref, si, si_row[:, 27], si_row[:, 28],
+            gate & ~prev_delta,
+        )
         mis_hit = jnp.where(prev_delta, 1.0, mis_weight(prev_pdf, em_pdf))
         L = L + jnp.where(
             (gate & hit)[:, None],

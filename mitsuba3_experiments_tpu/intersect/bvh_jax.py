@@ -280,19 +280,23 @@ def ray_intersect_brute(scene: Scene, ray: Ray, active=None) -> SurfaceInteracti
     )
 
 
-def _make_si(scene: Scene, ray: Ray, t, face, u, v) -> SurfaceInteraction:
+def _make_si(scene: Scene, ray: Ray, t, face, u, v, return_row=False):
     """Assemble the SurfaceInteraction from a hit (global face id).
 
     ONE row gather from Geometry.face_packed (layout documented there): on
     the axon TPU row gathers are latency-bound and width-independent, so the
     13-gather indexed-soup form cost ~8.4 ms/launch vs ~0.7 ms packed
     (BENCH.md round 2).  e1/e2 are precomputed at build with the identical
-    subtraction, so results are bit-equal to the old form."""
+    subtraction, so results are bit-equal to the old form.
+
+    `return_row=True` additionally returns the fetched (N, 32) row so hot
+    paths can read the folded NEE-pdf columns (27: pmf, 28: area) without
+    a second large-table gather (emitter.pdf_emitter_direction_packed)."""
     g = scene.geometry
     valid = face >= 0
     face_s = jnp.where(valid, face, 0)
 
-    row = jnp.take(g.face_packed, face_s, axis=0)       # (N, 28)
+    row = jnp.take(g.face_packed, face_s, axis=0)       # (N, 32)
     v0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
     p = v0 + e1 * u[:, None] + v[:, None] * e2
     ng = m.normalize(m.cross(e1, e2))
@@ -316,7 +320,7 @@ def _make_si(scene: Scene, ray: Ray, t, face, u, v) -> SurfaceInteraction:
     emitter_id = jax.lax.bitcast_convert_type(row[:, 26], jnp.int32)
 
     inval = ~valid
-    return SurfaceInteraction(
+    si = SurfaceInteraction(
         t=jnp.where(valid, t, jnp.inf),
         p=jnp.where(inval[:, None], 0.0, p),
         n=jnp.where(inval[:, None], jnp.array([0.0, 0.0, 1.0]), ng),
@@ -329,3 +333,6 @@ def _make_si(scene: Scene, ray: Ray, t, face, u, v) -> SurfaceInteraction:
         mat_id=jnp.where(valid, mat_id, -1),
         emitter_id=jnp.where(valid, emitter_id, -1),
     )
+    if return_row:
+        return si, row
+    return si

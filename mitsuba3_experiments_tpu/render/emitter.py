@@ -277,6 +277,28 @@ def sample_emitter_ray(scene: Scene, u_pos2, u_dir2, active=None):
     return ray, weight, em_id
 
 
+def pdf_emitter_direction_packed(scene: Scene, si_ref, si_hit, em_pmf,
+                                 em_area, active=None):
+    """pdf_emitter_direction computed from the NEE-pdf columns folded into
+    the face row (_make_si(return_row=True): row[:, 27] = pmf, [28] = area)
+    — identical floats to the EmitterTable path, but ZERO extra large-table
+    gathers (face_to_slot is (F,)-sized: ~12.3 ns/row at wavefront width,
+    BENCH.md round 3).  Used by the persistent transition and the replay
+    bounce; other integrators keep the table path."""
+    em = scene.emitters
+    has = (si_hit.prim_idx >= 0) & (si_hit.emitter_id >= 0) & (em_pmf > 0.0)
+    if active is not None:
+        has = has & active
+    d_un = si_hit.p - si_ref.p
+    dist2 = m.squared_norm(d_un)
+    d = d_un * m.jax_rsqrt_safe(dist2)[..., None]
+    cos_l = m.dot(si_hit.n, -d)
+    pdf = m.safe_div(em_pmf * dist2, cos_l * em_area)
+    if em.env_map.shape[:2] != (1, 1):
+        pdf = pdf * (1.0 - em.env_select_p)   # NEE technique-selection prob
+    return jnp.where(has & (cos_l > 0.0), pdf, 0.0)
+
+
 def pdf_emitter_direction(scene: Scene, si_ref, si_hit, active=None):
     """Solid-angle pdf that NEE from si_ref would have sampled the emissive
     face hit at si_hit (for MIS of BSDF-sampled rays, path.py:288)."""

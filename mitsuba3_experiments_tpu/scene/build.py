@@ -466,6 +466,22 @@ def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
     face_shape = np.concatenate(f_shape)
     face_flat = np.concatenate(f_flat)
 
+    materials, atlas = mb.tables()
+    emitters = _build_emitter_table(
+        V, F, face_em, emitters_rad,
+        env=meta.pop("env_radiance", None),
+        env_map=meta.pop("env_map", None),
+    )
+    # per-face NEE pdf data (pmf, area) rides the face row so hit shading
+    # never needs the (F,)-sized face_to_slot gather (large-table gathers
+    # cost ~12.3 ns/row on this TPU — BENCH.md round 3)
+    em_pmf_f = np.zeros(F.shape[0], np.float32)
+    em_area_f = np.zeros(F.shape[0], np.float32)
+    slot_of = np.asarray(emitters.face_to_slot)
+    has_slot = slot_of >= 0
+    epk_np = np.asarray(emitters.em_face_packed)
+    em_area_f[has_slot] = epk_np[slot_of[has_slot], 9]
+    em_pmf_f[has_slot] = epk_np[slot_of[has_slot], 10]
     geometry = Geometry(
         vertices=jnp.asarray(V),
         normals=jnp.asarray(N),
@@ -476,14 +492,9 @@ def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
         face_shape=jnp.asarray(face_shape),
         face_flat=jnp.asarray(face_flat),
         face_packed=jnp.asarray(
-            _pack_face_rows(V, N, UV, F, face_flat, face_mat, face_em)
+            _pack_face_rows(V, N, UV, F, face_flat, face_mat, face_em,
+                            em_pmf_f, em_area_f)
         ),
-    )
-    materials, atlas = mb.tables()
-    emitters = _build_emitter_table(
-        V, F, face_em, emitters_rad,
-        env=meta.pop("env_radiance", None),
-        env_map=meta.pop("env_map", None),
     )
     bvh = build_bvh(V, F)
     scene = Scene(
@@ -499,15 +510,21 @@ def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
 
 
 
-def _pack_face_rows(V, N, UV, F, face_flat, face_mat, face_em):
-    """One (F, 28) f32 row per face with everything _make_si needs.
+def _pack_face_rows(V, N, UV, F, face_flat, face_mat, face_em,
+                    em_pmf=None, em_area=None):
+    """One (F, 32) f32 row per face with everything _make_si needs.
 
     See Geometry.face_packed for the layout rationale (gather-count is the
     hit-shading cost on this TPU).  e1/e2 are precomputed with the same
     float subtraction _make_si previously did at runtime, so interactions
-    are bit-identical to the 13-gather form."""
+    are bit-identical to the 13-gather form.  Cols 27/28 carry the NEE
+    pdf data (face pmf, area) copied from EmitterTable so MIS at emitter
+    hits reads NO extra large-table rows (pdf_emitter_direction_packed)."""
     nf = F.shape[0]
-    pk = np.zeros((nf, 28), np.float32)
+    pk = np.zeros((nf, 32), np.float32)
+    if em_pmf is not None:
+        pk[:, 27] = em_pmf
+        pk[:, 28] = em_area
     v0 = V[F[:, 0]]
     pk[:, 0:3] = v0
     pk[:, 3:6] = V[F[:, 1]] - v0

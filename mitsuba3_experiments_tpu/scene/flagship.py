@@ -179,7 +179,7 @@ def load_flagship(res=(1280, 720), spp: int = 64, tri_budget: int = 2_000_000,
 
     from .bvh8 import LEAF_CAP, WIDTH
 
-    key = f"flagship_{res[0]}x{res[1]}_spp{spp}_t{tri_budget}_v8"
+    key = f"flagship_{res[0]}x{res[1]}_spp{spp}_t{tri_budget}_v9"
     if LEAF_CAP != 8:  # leaf-row layout derives from LEAF_CAP (bvh8.py)
         key += f"_lc{LEAF_CAP}"
     if WIDTH != 8:     # node-row layout derives from WIDTH

@@ -45,10 +45,12 @@ class Geometry:
     # Packed per-face shading row, ONE gather per hit instead of 13 (on the
     # axon TPU a row gather costs ~0.1-0.35 ms regardless of width/size, so
     # _make_si's cost is its gather COUNT — measured 8.4 ms -> ~0.7 ms).
-    # Layout (F, 28) f32: v0[0:3] e1[3:6] e2[6:9] n0[9:12] n1[12:15]
+    # Layout (F, 32) f32: v0[0:3] e1[3:6] e2[6:9] n0[9:12] n1[12:15]
     # n2[15:18] uv0[18:20] uv1[20:22] uv2[22:24] flat[24]
-    # mat_id[25] emitter_id[26] (i32 bitcast) pad[27]
-    face_packed: jnp.ndarray   # (F, 28) f32
+    # mat_id[25] emitter_id[26] (i32 bitcast) em_pmf[27] em_area[28]
+    # pad[29:32] — em_* mirror EmitterTable so NEE-pdf at emitter hits
+    # needs no face_to_slot/em_face_packed gathers (round-3 fold)
+    face_packed: jnp.ndarray   # (F, 32) f32
 
 
 @jstruct

@@ -92,13 +92,16 @@ print(f"# round = stepper {t_step:.1f} + transitions {t_a+t_b:.1f} + refill {t_r
 
 # occupancy decay across one round: fraction of lanes still traversing
 # after each stepper iteration (idle lanes still pay the ~12.3 ns/row
-# gather, so the area above this curve is the round's wasted gather rows)
+# gather, so the area above this curve is the round's wasted gather rows).
+# Start from a true round START: retire + transition + refill first.
+s2 = trans_b(scene, st, rayL)[0]
+s2 = trans_a(scene, s2, seed)
+s2 = refill(scene, s2, next_ray, seed, ray_end=jnp.uint32(n_total))[0]
 occ = []
-s2 = st
 for _ in range(steps):
     s2 = stepper1(unified, n_nodes=n_nodes, st=s2)
     occ.append(int(jnp.sum(s2.alive & (s2.tr_cur != pp.DONE))))
-tot = max(int(jnp.sum(st.alive)), 1)
+tot = max(int(jnp.sum(s2.alive)), 1)
 print("# occupancy/iter:", " ".join(f"{o/tot:.2f}" for o in occ), flush=True)
 waste = 1.0 - sum(occ) / (len(occ) * tot)
 print(f"# idle-lane share of round gather rows: {100*waste:.0f}%", flush=True)
