@@ -89,6 +89,9 @@ TSTACK_W = DROP_SCAN + WIDTH if DROP_SCAN else 1
 # spread idle lanes' discarded gather rows across the table (1) vs the
 # round-2 shared dummy row (0) — see the bank-conflict note in _trav_steps
 IDLE_SPREAD = int(os.environ.get("M3T_IDLE_SPREAD", "1"))
+# ray index -> pixel order: 'row' (reference row-major) or 'tile'
+# (tile-major; see ray_pixel)
+RAY_ORDER = os.environ.get("M3T_RAY_ORDER", "row")
 
 
 @jstruct
@@ -470,13 +473,43 @@ def _retire(scene: Scene, st: PersistentState, rayL, *, deferred_pad):
     return st, rayL
 
 
+def _tile_dims(w: int, h: int):
+    """Largest tile sides <= 128 that divide the image (static)."""
+    tw = next(t for t in range(min(128, w), 0, -1) if w % t == 0)
+    th = next(t for t in range(min(128, h), 0, -1) if h % t == 0)
+    return tw, th
+
+
+def ray_pixel(camera, pix):
+    """Map a linear pixel rank to (px, py).
+
+    M3T_RAY_ORDER=tile renumbers pixels tile-major (default tiles up to
+    128x128): consecutive ray indices then cover a compact 2-D tile
+    instead of a 1280-wide row band, so the ~65k in-flight rays of the
+    persistent machine stay spatially coherent — the chip's gather engine
+    measurably rewards index locality (BENCH.md round 3: strided ownership
+    that DESTROYED the band locality lost 15%).  Default 'row' keeps the
+    reference's row-major order."""
+    w, h = camera.resolution
+    if RAY_ORDER == "tile":
+        tw, th = _tile_dims(w, h)
+        per_tile = jnp.uint32(tw * th)
+        tiles_x = jnp.uint32(w // tw)
+        tile = pix // per_tile
+        r = pix % per_tile
+        px = (tile % tiles_x) * jnp.uint32(tw) + r % jnp.uint32(tw)
+        py = (tile // tiles_x) * jnp.uint32(th) + r // jnp.uint32(tw)
+        return px.astype(m.Float), py.astype(m.Float)
+    px = (pix % jnp.uint32(w)).astype(m.Float)
+    py = (pix // jnp.uint32(w)).astype(m.Float)
+    return px, py
+
+
 def ray_positions(camera, seed, idx, spp: int):
     """Film position of camera ray `idx` — pixel corner + RNG jitter,
     exactly as _refill_persistent armed it (dimension 0 of the lane)."""
-    w, _h = camera.resolution
     pix = idx // jnp.uint32(spp)
-    px = (pix % jnp.uint32(w)).astype(m.Float)
-    py = (pix // jnp.uint32(w)).astype(m.Float)
+    px, py = ray_pixel(camera, pix)
     jitter = _rand(seed, idx, jnp.zeros_like(idx), 2)
     return jnp.stack([px, py], axis=-1) + jitter
 

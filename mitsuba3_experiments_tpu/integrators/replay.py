@@ -398,13 +398,8 @@ def replay_radiance(scene: Scene, rec: PathRecord, seed, idx0, *, spp: int,
         else idx < jnp.uint32(ray_end)
     )
 
-    # camera ray (exactly pp._refill_persistent)
-    w, h = scene.camera.resolution
-    pix = idx // jnp.uint32(spp)
-    px = (pix % jnp.uint32(w)).astype(m.Float)
-    py = (pix // jnp.uint32(w)).astype(m.Float)
-    jitter = _rand(seed_u, idx, jnp.zeros_like(idx), 2)
-    pos = jnp.stack([px, py], axis=-1) + jitter
+    # camera ray (exactly pp._refill_persistent, same idx->pixel order)
+    pos = pp.ray_positions(scene.camera, seed_u, idx, spp)
     ray0 = sensorlib.sample_ray(scene.camera, pos)
 
     class Ref:  # si_ref stand-in for pdf_emitter_direction
