@@ -347,7 +347,6 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
         for j in range(1, DROP_SCAN + 1):
             popped = jnp.where(k_drop == j, stack[:, j], popped)
         popped = jnp.where(can_pop, popped, DONE)
-        del culled
         nxt = jnp.where(
             descend, near_code, jnp.where(want_pop, popped, DONE)
         )
