@@ -294,7 +294,15 @@ def _make_si(scene: Scene, ray: Ray, t, face, u, v, return_row=False):
     a second large-table gather (emitter.pdf_emitter_direction_packed)."""
     g = scene.geometry
     valid = face >= 0
-    face_s = jnp.where(valid, face, 0)
+    # invalid lanes: SPREAD their (discarded) gather rows across the table
+    # instead of all hitting row 0 — duplicate gather indices serialize the
+    # whole op (~1.45x slower, BENCH.md round-3 gather probe).  Safe for AD:
+    # every consumer of the fetched row is where-gated on `valid`, so the
+    # spread rows' cotangents are exactly zero (and face_packed is geometry,
+    # not a differentiated table).
+    n_faces = g.face_packed.shape[0]
+    iota = jnp.arange(face.shape[0], dtype=face.dtype) % n_faces
+    face_s = jnp.where(valid, face, iota)
 
     row = jnp.take(g.face_packed, face_s, axis=0)       # (N, 32)
     v0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]

@@ -40,14 +40,26 @@ def build_bvh(
     """
     import jax.numpy as jnp
 
-    from .bvh8 import LEAF_CAP, collapse_to_wide
-    from .native import try_build_bvh_native
+    from .bvh8 import LEAF_CAP, SBVH, SBVH_ALPHA, collapse_to_wide
+    from .native import try_build_bvh_native, try_build_sbvh_native
 
     if leaf_size is None:
         leaf_size = LEAF_CAP
     assert leaf_size <= LEAF_CAP, (leaf_size, LEAF_CAP)
 
-    native = try_build_bvh_native(vertices, faces, leaf_size)
+    native = None
+    if SBVH:
+        # spatial-split build (native/sbvh_builder.cpp): straddling
+        # triangles are duplicated with clipped boxes, cutting node overlap
+        # -> fewer rows/ray in the gather-bound stepper (flagship chip A/B:
+        # +3.8% rays/s over the object-split build, identical images).
+        # Falls back to the object-split builders when the native lib is
+        # unavailable.
+        native = try_build_sbvh_native(
+            vertices, faces, leaf_size, alpha=SBVH_ALPHA
+        )
+    if native is None:
+        native = try_build_bvh_native(vertices, faces, leaf_size)
     if native is not None:
         lo, hi, left, right, first, count, order, max_leaf = native
     else:

@@ -46,14 +46,35 @@ LEAF_ROW = FACE_OFF + LEAF_CAP
 NODE_BASE = ((WIDTH + 7) // 8) * 8
 NODE_ROW = ((NODE_BASE + 6 * WIDTH + 7) // 8) * 8
 EMPTY = -1
+# Collapse expansion strategy: which binary child to flatten next while
+# widening a node to WIDTH subtrees.  "area" expands the child with the
+# LARGEST surface area (SA-greedy, Ylitie et al. 2017 style) and measures
+# -8% rows/ray on the flagship (scripts/collapse_ab.py: 18.39 -> 16.92) —
+# but the SA-greedy tree is DEEPER (worst-case stack need 91 vs 64), and
+# the chip A/B shows the extra 16 shift-register stack columns cost more
+# than the row savings: first@80 300,999 rays/s, area@96 290,561,
+# first@96 282,462 (the stack alone is -6.2%).  "first" stays the default;
+# "area" is kept for shallow scenes / future cheaper-stack designs.
+COLLAPSE = os.environ.get("M3T_COLLAPSE", "first")
+# Spatial-split (SBVH) binary build before the collapse — see
+# native/sbvh_builder.cpp and scene/native.py::try_build_sbvh_native.
+# Chip A/B (flagship fwd, 65536/24): sbvh+first 312,313 rays/s vs plain
+# first 300,999 (+3.8%) with identical images; host probe: 18.39 -> 16.9
+# rows/ray (-8.1%) at +3.5% duplicated references.  Default ON.
+SBVH = os.environ.get("M3T_SBVH", "1") == "1"
+SBVH_ALPHA = float(os.environ.get("M3T_SBVH_ALPHA", "1e-4"))
 # Traversal stack capacity (intersect/bvh_jax.py uses the same constant).
-# Worst-case stack usage is tree_depth * (WIDTH - 1); collapse_to_wide
-# raises at build time if that could exceed the stack (ADVICE round 1:
-# silent overflow would drop subtrees -> missed hits).  The 2M-tri
-# flagship collapses to depth 10 -> 70 slots; 80 leaves headroom and the
-# shift-register stack's cost is streaming bandwidth, ~linear in depth.
+# collapse_to_wide raises at build time if the EXACT worst-case stack need
+# — max over root-to-leaf paths of sum(children-1) — exceeds this (ADVICE
+# round 1: silent overflow would drop subtrees -> missed hits).  The 2M-tri
+# flagship needs 64 slots under "first" and 91 under "area" (the SA-greedy
+# tree is deeper but visits fewer rows); the shift-register stack's cost is
+# elementwise VPU traffic that measures as hidden under the row-gather
+# latency (BENCH.md round 3: stepper marginal == pure gather probe cost).
 STACK_DEPTH = int(os.environ.get(
-    "M3T_STACK_DEPTH", "80" if WIDTH == 8 else str(8 * (WIDTH - 1))
+    "M3T_STACK_DEPTH",
+    ("96" if COLLAPSE == "area" else "80") if WIDTH == 8
+    else str(8 * (WIDTH - 1)),
 ))
 
 
@@ -65,6 +86,13 @@ def collapse_to_wide(lo, hi, left, right, first, count, prim_order,
     faces_global:   (F,) i32 global face id per slot.
     """
     n_bin = left.shape[0]
+    if COLLAPSE == "area":
+        dx = np.maximum(hi[:, 0] - lo[:, 0], 0.0)
+        dy = np.maximum(hi[:, 1] - lo[:, 1], 0.0)
+        dz = np.maximum(hi[:, 2] - lo[:, 2], 0.0)
+        area = 2.0 * (dx * dy + dy * dz + dz * dx)
+    else:
+        area = None
 
     wide_children: list[list[int]] = []   # entries: +node / ~leaf refs
     leaf_rows: list[tuple[int, int]] = []  # (first, count) per leaf row
@@ -96,14 +124,20 @@ def collapse_to_wide(lo, hi, left, right, first, count, prim_order,
         # gather up to WIDTH subtree roots under b
         roots = [left[b], right[b]]
         while len(roots) < WIDTH:
-            # expand the internal root with the largest subtree (by picking
-            # any internal; use the one with widest bounds heuristically ->
-            # just first internal found)
             pick = -1
-            for i, r in enumerate(roots):
-                if left[r] != -1:
-                    pick = i
-                    break
+            if area is not None:
+                # SA-greedy: expand the internal root with the largest
+                # surface area (see COLLAPSE above)
+                best_a = -1.0
+                for i, r in enumerate(roots):
+                    if left[r] != -1 and area[r] > best_a:
+                        best_a = area[r]
+                        pick = i
+            else:
+                for i, r in enumerate(roots):
+                    if left[r] != -1:
+                        pick = i
+                        break
             if pick < 0:
                 break
             r = roots.pop(pick)
@@ -166,23 +200,26 @@ def collapse_to_wide(lo, hi, left, right, first, count, prim_order,
             leaf_face[li, :c] = faces_global[f0 : f0 + c]
         leaf_tris[:, FACE_OFF:LEAF_ROW] = leaf_face.view(np.float32)
 
-    # build-time stack guarantee: depth * (WIDTH-1) pushes must fit
+    # build-time stack guarantee: EXACT worst-case need — visiting a node
+    # with c hit children pushes c-1 entries before descending, so the need
+    # is max over root-to-leaf paths of sum(children-1).  Children wids are
+    # allocated strictly after their parent's, so a reverse-wid sweep is
+    # bottom-up.
     if nn8 > 0:
-        depth = np.ones(nn8, np.int32)
-        maxd = 1
-        work = [0]
-        while work:
-            wid = work.pop()
-            for code in codes_arr[wid]:
+        need = np.zeros(nn8, np.int64)
+        for wid in range(nn8 - 1, -1, -1):
+            cs = codes_arr[wid]
+            n_ch = int(np.sum(cs != EMPTY))
+            child_need = 0
+            for code in cs:
                 if code >= 0:
-                    depth[code] = depth[wid] + 1
-                    maxd = max(maxd, int(depth[code]))
-                    work.append(int(code))
-        if maxd * (WIDTH - 1) > STACK_DEPTH:
+                    child_need = max(child_need, int(need[code]))
+            need[wid] = (n_ch - 1) + child_need
+        if int(need[0]) > STACK_DEPTH:
             raise ValueError(
-                f"wide-BVH depth {maxd} needs {maxd * (WIDTH - 1)} stack "
-                f"slots > STACK_DEPTH={STACK_DEPTH}; deepen LEAF_CAP or "
-                "raise STACK_DEPTH"
+                f"wide-BVH worst-case stack need {int(need[0])} > "
+                f"STACK_DEPTH={STACK_DEPTH}; deepen LEAF_CAP or raise "
+                "M3T_STACK_DEPTH"
             )
 
     return nodes, leaf_tris, leaf_face

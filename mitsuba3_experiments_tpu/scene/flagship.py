@@ -177,13 +177,17 @@ def load_flagship(res=(1280, 720), spp: int = 64, tri_budget: int = 2_000_000,
 
     from .build import load_dict
 
-    from .bvh8 import LEAF_CAP, WIDTH
+    from .bvh8 import COLLAPSE, LEAF_CAP, SBVH, SBVH_ALPHA, WIDTH
 
-    key = f"flagship_{res[0]}x{res[1]}_spp{spp}_t{tri_budget}_v9"
+    key = f"flagship_{res[0]}x{res[1]}_spp{spp}_t{tri_budget}_v10"
     if LEAF_CAP != 8:  # leaf-row layout derives from LEAF_CAP (bvh8.py)
         key += f"_lc{LEAF_CAP}"
     if WIDTH != 8:     # node-row layout derives from WIDTH
         key += f"_w{WIDTH}"
+    if COLLAPSE != "area":  # wide-tree shape derives from the strategy
+        key += f"_c{COLLAPSE}"
+    if SBVH:           # spatial-split build changes the whole tree
+        key += f"_sbvh{SBVH_ALPHA:g}"
     if cache_dir:
         path = os.path.join(cache_dir, key + ".pkl")
         if os.path.exists(path):

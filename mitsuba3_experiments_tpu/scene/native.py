@@ -48,6 +48,30 @@ def _find_lib():
                 ]
                 lib.m3t_free_mesh.argtypes = [ctypes.c_void_p]
                 try:
+                    lib.m3t_build_sbvh.restype = ctypes.c_int
+                    lib.m3t_build_sbvh.argtypes = [
+                        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                        ctypes.c_int, ctypes.c_float, ctypes.c_float,
+                        ctypes.POINTER(ctypes.c_void_p),
+                        ctypes.POINTER(ctypes.c_int64),
+                        ctypes.POINTER(ctypes.c_int64),
+                    ]
+                    lib.m3t_copy_sbvh.argtypes = [
+                        ctypes.c_void_p,
+                        ctypes.POINTER(ctypes.c_float),
+                        ctypes.POINTER(ctypes.c_float),
+                        ctypes.POINTER(ctypes.c_int32),
+                        ctypes.POINTER(ctypes.c_int32),
+                        ctypes.POINTER(ctypes.c_int32),
+                        ctypes.POINTER(ctypes.c_int32),
+                        ctypes.POINTER(ctypes.c_int32),
+                        ctypes.POINTER(ctypes.c_int32),
+                    ]
+                    lib.m3t_free_sbvh.argtypes = [ctypes.c_void_p]
+                except AttributeError:
+                    pass  # older lib without the spatial-split builder
+                try:
                     lib.m3t_build_bvh.restype = ctypes.c_int
                     lib.m3t_build_bvh.argtypes = [
                         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -118,6 +142,58 @@ def try_build_bvh_native(vertices, faces, leaf_size: int):
         ctypes.byref(max_leaf),
     )
     lib.m3t_free_bvh(handle)
+    return lo, hi, left, right, first, count, order, int(max_leaf.value)
+
+
+def try_build_sbvh_native(vertices, faces, leaf_size: int,
+                          alpha: float = 1e-5, budget_factor: float = 2.0):
+    """Spatial-split (SBVH) binary build — native/sbvh_builder.cpp.
+
+    Returns (lo, hi, left, right, first, count, prim_order, max_leaf) or
+    None when unavailable.  prim_order holds REFERENCES (len >= n_faces,
+    repeated face ids allowed): a straddling triangle is duplicated into
+    both children with clipped boxes, cutting node overlap — fewer rows
+    visited per ray in the gather-bound traversal (BENCH.md round 3)."""
+    lib = _find_lib()
+    if lib is None or not hasattr(lib, "m3t_build_sbvh"):
+        return None
+    v = np.ascontiguousarray(vertices, np.float32)
+    f = np.ascontiguousarray(faces, np.int32)
+    handle = ctypes.c_void_p()
+    n_nodes = ctypes.c_int64()
+    n_refs = ctypes.c_int64()
+    rc = lib.m3t_build_sbvh(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(v.shape[0]),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(f.shape[0]),
+        ctypes.c_int(leaf_size), ctypes.c_float(alpha),
+        ctypes.c_float(budget_factor),
+        ctypes.byref(handle), ctypes.byref(n_nodes), ctypes.byref(n_refs),
+    )
+    if rc != 0:
+        return None
+    nn = n_nodes.value
+    lo = np.empty((nn, 3), np.float32)
+    hi = np.empty((nn, 3), np.float32)
+    left = np.empty(nn, np.int32)
+    right = np.empty(nn, np.int32)
+    first = np.empty(nn, np.int32)
+    count = np.empty(nn, np.int32)
+    order = np.empty(n_refs.value, np.int32)
+    max_leaf = ctypes.c_int32()
+    lib.m3t_copy_sbvh(
+        handle,
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        left.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        right.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        first.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        count.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(max_leaf),
+    )
+    lib.m3t_free_sbvh(handle)
     return lo, hi, left, right, first, count, order, int(max_leaf.value)
 
 
