@@ -241,7 +241,14 @@ def worker(cfg):
         from mitsuba3_experiments_tpu.integrators.replay import (
             record_full,
             replay_grads_full,
+            replay_grads_sorted,
         )
+
+        # BENCH_REPLAY=sorted: path-length-sorted bucketed replay (per-
+        # chunk truncated depth scans + adjoint loss decomposition) — same
+        # gradients (tests/test_replay.py), fewer wasted scan steps on
+        # short paths
+        replay_sorted = os.environ.get("BENCH_REPLAY", "full") == "sorted"
 
         n_rays = n * spp
         lanes = cfg.get("n_lanes", 65536)
@@ -257,7 +264,9 @@ def worker(cfg):
             rec = record_full(
                 scene, seed, n_rays, n_lanes=lanes, pad_to=pad, **rkw,
             )
-            return replay_grads_full(
+            grads = replay_grads_sorted if replay_sorted \
+                else replay_grads_full
+            return grads(
                 scene, diff_params, update, target, seed, rec, n_rays,
                 chunk=rchunk, spp=spp, max_depth=depth, rr_depth=4,
                 rfilter="box",

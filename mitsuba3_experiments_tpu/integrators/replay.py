@@ -381,18 +381,163 @@ def _replay_grads_fused(scene, params, rec3, target, seed, offs, ends, *,
     return acc
 
 
+def path_lengths(rec: PathRecord):
+    """(rows,) i32: exact scan-prefix length that replays row i bit-equal.
+
+    A ray whose last recorded hit is at depth d (column d-1) needs d+1 scan
+    steps: step d+1 consumes the prim=-1 column for the environment-escape
+    contribution (or is already an act=False no-op if RR terminated the
+    path).  Every later step is gated to zero by the carried `act` mask, so
+    truncating the scan there is exact, not approximate."""
+    D = rec.prim.shape[1]
+    has = rec.prim >= 0
+    depth_ix = jnp.arange(1, D + 1, dtype=jnp.int32)[None, :]
+    last_hit = jnp.max(jnp.where(has, depth_ix, 0), axis=1)
+    return jnp.minimum(last_hit + 1, D)
+
+
+def _depth_classes(D: int):
+    """Doubling ladder of scan lengths {1, 2, 4, ..., D} (compile count is
+    log D; each chunk replays at the smallest class >= its longest path)."""
+    cs = []
+    c = 1
+    while c < D:
+        cs.append(c)
+        c *= 2
+    cs.append(D)
+    return cs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spp", "max_depth", "rr_depth", "rfilter", "n_steps"),
+    donate_argnums=(1,),
+)
+def _replay_fwd_chunk(scene, film, rec, order_j, target_unused, seed,
+                      ray_end, *, spp: int, max_depth: int, rr_depth: int,
+                      rfilter: str, n_steps: int):
+    sl = jax.tree_util.tree_map(lambda a: a[order_j], rec)
+    L, pos, act0 = replay_radiance(
+        scene, sl, seed, 0, spp=spp, max_depth=max_depth,
+        rr_depth=rr_depth, ray_end=ray_end, idx=order_j, n_steps=n_steps,
+    )
+    return filmlib.put(
+        film, pos, jnp.where(jnp.isfinite(L), L, 0.0), active=act0,
+        rfilter=rfilter,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("update_fn", "spp", "max_depth", "rr_depth",
+                     "rfilter", "n_steps"),
+)
+def _replay_adj_chunk(scene, params, adj, rec, order_j, seed, ray_end, *,
+                      update_fn, spp: int, max_depth: int, rr_depth: int,
+                      rfilter: str, n_steps: int):
+    w, h = scene.camera.resolution
+    sl = jax.tree_util.tree_map(lambda a: a[order_j], rec)
+
+    def scalar(p):
+        s = update_fn(scene, p)
+        L, pos, act0 = replay_radiance(
+            s, sl, seed, 0, spp=spp, max_depth=max_depth,
+            rr_depth=rr_depth, ray_end=ray_end, idx=order_j,
+            n_steps=n_steps,
+        )
+        film = filmlib.put(
+            filmlib.new_film(w, h), pos,
+            jnp.where(jnp.isfinite(L), L, 0.0), active=act0,
+            rfilter=rfilter,
+        )
+        return jnp.sum(adj * film[..., :3])
+
+    return jax.grad(scalar)(params)
+
+
+def replay_grads_sorted(scene: Scene, params: dict, update_fn, target,
+                        seed, rec: PathRecord, n_rays: int, *, chunk: int,
+                        spp: int, max_depth: int, rr_depth: int,
+                        rfilter: str = "box"):
+    """Grad accumulation over a full-frame PathRecord, rows sorted by
+    recorded path length so each chunk's depth scan runs only as long as
+    its LONGEST path (classes on a doubling ladder -> log D compiles).
+
+    Exactness despite sorting: chunks no longer partition pixels, so the
+    per-chunk-MSE decomposition of replay_grads_full would be wrong (the
+    square is nonlinear across chunks sharing a pixel).  Instead the loss
+    gradient is decomposed through the film ADJOINT: with develop = S/w
+    (w = filter-weight channel, independent of params),
+      dLoss/dS = 2 (S/w - target) / w  on covered pixels  (:= adj)
+    is computed ONCE from a forward-only bucketed pass, and each chunk then
+    contributes grad of <adj, S_chunk> — linear in the chunk splats, so the
+    sum over chunks equals the whole-frame gradient exactly (standard
+    adjoint/VJP decomposition; tested against replay_grads_full)."""
+    rows = rec.prim.shape[0]
+    assert rows % chunk == 0, (rows, chunk)
+    D = rec.prim.shape[1]
+    lens = path_lengths(rec)
+    order = jnp.argsort(-lens).astype(jnp.uint32)
+    n_chunks = rows // chunk
+    # chunk j's longest path = lens[order[j*chunk]] (rows sorted descending)
+    chunk_max = jax.device_get(
+        jnp.take(lens, order[:: chunk].astype(jnp.int32))
+    )
+    classes = _depth_classes(D)
+    cls = [min(c for c in classes if c >= int(mx)) for mx in chunk_max]
+
+    w, h = scene.camera.resolution
+    film = filmlib.new_film(w, h)
+    seed_u = jnp.uint32(seed)
+    end_u = jnp.uint32(n_rays)
+    kw = dict(spp=spp, max_depth=max_depth, rr_depth=rr_depth,
+              rfilter=rfilter)
+    for j in range(n_chunks):
+        oj = jax.lax.dynamic_slice_in_dim(order, j * chunk, chunk)
+        film = _replay_fwd_chunk(
+            scene, film, rec, oj, None, seed_u, end_u,
+            n_steps=cls[j], **kw,
+        )
+    img = filmlib.develop(film)
+    wgt = film[..., 3:4]
+    adj = jnp.where(
+        wgt > 0.0,
+        2.0 * (img - target) / jnp.where(wgt > 0.0, wgt, 1.0),
+        0.0,
+    )
+    adj = jax.lax.stop_gradient(adj)
+
+    acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+    for j in range(n_chunks):
+        oj = jax.lax.dynamic_slice_in_dim(order, j * chunk, chunk)
+        g = _replay_adj_chunk(
+            scene, params, adj, rec, oj, seed_u, end_u,
+            update_fn=update_fn, n_steps=cls[j], **kw,
+        )
+        acc = jax.tree_util.tree_map(jnp.add, acc, g)
+    return acc
+
+
 def replay_radiance(scene: Scene, rec: PathRecord, seed, idx0, *, spp: int,
-                    max_depth: int, rr_depth: int, ray_end=None):
+                    max_depth: int, rr_depth: int, ray_end=None,
+                    idx=None, n_steps: int | None = None):
     """Differentiable per-lane radiance from a PathRecord.
 
     Mirrors pp._transition_trace / the inline shadow resolve bounce for
     bounce — same formulas, same RNG dimensions — with ray_intersect
     replaced by the recorded (prim, u, v) and ray_test by the recorded
-    occlusion bit.  Returns (L (N,3), film pos (N,2))."""
+    occlusion bit.  Returns (L (N,3), film pos (N,2)).
+
+    `idx` (optional, (N,) uint32) overrides the contiguous idx0+arange
+    camera-ray assignment — the sorted-bucketed replay feeds permuted rows.
+    `n_steps` (static) truncates the depth scan: rows whose recorded path
+    needs <= n_steps scan steps (see path_lengths) replay EXACTLY — all
+    later steps are act=False no-ops by construction."""
     n = rec.prim.shape[0]
     mats, tex = scene.materials, scene.textures
     seed_u = jnp.uint32(seed)
-    idx = jnp.uint32(idx0) + jnp.arange(n, dtype=jnp.uint32)
+    if idx is None:
+        idx = jnp.uint32(idx0) + jnp.arange(n, dtype=jnp.uint32)
     act0 = (
         jnp.ones((n,), bool) if ray_end is None
         else idx < jnp.uint32(ray_end)
@@ -498,7 +643,11 @@ def replay_radiance(scene: Scene, rec: PathRecord, seed, idx0, *, spp: int,
         jnp.ones((n,), bool), ray0.o, ray0.d, act0,
         jnp.ones((n,), jnp.int32),
     )
-    xs = (rec.prim.T, rec.u.T, rec.v.T, rec.occl.T)
+    d_use = rec.prim.shape[1] if n_steps is None else min(
+        n_steps, rec.prim.shape[1]
+    )
+    xs = (rec.prim[:, :d_use].T, rec.u[:, :d_use].T, rec.v[:, :d_use].T,
+          rec.occl[:, :d_use].T)
     (L, *_), _ = jax.lax.scan(bounce, init, xs)
     return L, pos, act0
 

@@ -204,3 +204,65 @@ def test_record_full_matches_record_chunk(bvh_scene):
         np.testing.assert_allclose(
             np.asarray(g_b[k]), np.asarray(g_c[k]), rtol=1e-5, atol=1e-7,
         )
+
+
+def test_replay_grads_sorted_matches_full(bvh_scene):
+    """Sorted-bucketed replay (rows permuted by path length, per-chunk
+    truncated depth scans, adjoint decomposition of the MSE loss) must
+    reproduce replay_grads_full's gradients: the truncation is exact by
+    construction (path_lengths) and the adjoint restores linearity across
+    pixel-sharing chunks."""
+    from mitsuba3_experiments_tpu.integrators.replay import (
+        path_lengths,
+        record_full,
+        replay_grads_full,
+        replay_grads_sorted,
+    )
+
+    scene = bvh_scene
+    w, h = scene.camera.resolution
+    spp, depth = 2, 4
+    n = w * h * spp
+    pad = n + 128
+
+    rec = record_full(
+        scene, 3, n, spp=spp, max_depth=depth, rr_depth=4, steps=8,
+        rounds_per_launch=4, n_lanes=256, pad_to=pad,
+    )
+    lens = np.asarray(path_lengths(rec))
+    assert lens.min() >= 1 and lens.max() <= depth
+    assert (lens[n:] == 1).all()  # padded rows: all-miss -> one step
+
+    target = np.asarray(
+        render(scene, PathIntegrator(max_depth=depth), seed=9, spp=spp,
+               rfilter="box")
+    )
+    params = {
+        "materials.base_color": scene.materials.base_color,
+        "emitters.radiance": scene.emitters.radiance,
+    }
+    g_full = replay_grads_full(
+        scene, params, update, jnp.asarray(target), 3, rec, n,
+        chunk=pad // 2, spp=spp, max_depth=depth, rr_depth=4,
+        rfilter="box",
+    )
+    for rfilter in ("box", "tent"):
+        g_sort = replay_grads_sorted(
+            scene, params, update, jnp.asarray(target), 3, rec, n,
+            chunk=pad // 4, spp=spp, max_depth=depth, rr_depth=4,
+            rfilter=rfilter,
+        )
+        if rfilter != "box":
+            # the full-chunk decomposition is only exact for the box
+            # filter (pixel-disjoint chunks); tent overlaps pixels, so
+            # just require finite, nonzero grads there
+            for k in params:
+                b = np.asarray(g_sort[k])
+                assert np.isfinite(b).all() and np.abs(b).max() > 0
+            continue
+        for k in params:
+            a = np.asarray(g_full[k])
+            np.testing.assert_allclose(
+                np.asarray(g_sort[k]), a, rtol=1e-3,
+                atol=1e-4 * max(1e-9, np.abs(a).max()),
+            )
