@@ -63,7 +63,12 @@ tv_flat, fg = derived(order)
 
 def collapse(strategy: str, lo=None, hi=None, left=None, right=None,
              first=None, count=None, tv_flat=None, fg=None):
-    """collapse_to_wide with a pluggable expansion pick."""
+    """collapse_to_wide with a pluggable expansion pick.
+
+    Strategies: "first", "area", and "+lm" suffix = leaf-merge: when the
+    child set is full but two leaf roots fit in one leaf row (combined
+    count <= LEAF_CAP), merge the min-union-area pair to free a slot for
+    further expansion (denser wide nodes, fewer leaf rows)."""
     g = globals()
     lo = g["lo"] if lo is None else lo
     hi = g["hi"] if hi is None else hi
@@ -73,6 +78,8 @@ def collapse(strategy: str, lo=None, hi=None, left=None, right=None,
     count = g["count"] if count is None else count
     tv_flat = g["tv_flat"] if tv_flat is None else tv_flat
     fg = g["fg"] if fg is None else fg
+    leaf_merge = strategy.endswith("+lm")
+    strategy = strategy.removesuffix("+lm")
     area = None
     if strategy == "area":
         dx = np.maximum(hi[:, 0] - lo[:, 0], 0)
@@ -80,11 +87,25 @@ def collapse(strategy: str, lo=None, hi=None, left=None, right=None,
         dz = np.maximum(hi[:, 2] - lo[:, 2], 0)
         area = 2 * (dx * dy + dy * dz + dz * dx)
 
-    wide_children = []
-    leaf_rows = []
+    if area is None:
+        dx = np.maximum(hi[:, 0] - lo[:, 0], 0)
+        dy = np.maximum(hi[:, 1] - lo[:, 1], 0)
+        dz = np.maximum(hi[:, 2] - lo[:, 2], 0)
+        area = 2 * (dx * dy + dy * dz + dz * dx)
 
-    def make_leaf(b):
-        leaf_rows.append((int(first[b]), int(count[b])))
+    def union_area(blo, bhi):
+        d = np.maximum(bhi - blo, 0)
+        return 2 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    # entry: ("node", b) | ("leaf", [b...], lo3, hi3, count)
+    wide_children = []
+    leaf_rows = []   # list[list[(first, count)]]
+
+    def leaf_entry(b):
+        return ("leaf", [b], lo[b].copy(), hi[b].copy(), int(count[b]))
+
+    def make_leaf(bs):
+        leaf_rows.append([(int(first[b]), int(count[b])) for b in bs])
         return -(len(leaf_rows) - 1) - 2
 
     wide_of_binary = {}
@@ -96,39 +117,75 @@ def collapse(strategy: str, lo=None, hi=None, left=None, right=None,
         wid = len(wide_children)
         wide_of_binary[b] = wid
         wide_children.append([])
-        roots = [left[b], right[b]]
-        while len(roots) < WIDTH:
+
+        def as_entry(r):
+            return ("node", r) if left[r] != -1 else leaf_entry(r)
+
+        roots = [as_entry(left[b]), as_entry(right[b])]
+        while True:
+            if len(roots) >= WIDTH and leaf_merge:
+                # merge the min-union-area pair of leaf entries that fits
+                # one row, freeing a slot for more expansion
+                best = None
+                for i in range(len(roots)):
+                    if roots[i][0] != "leaf":
+                        continue
+                    for j in range(i + 1, len(roots)):
+                        if roots[j][0] != "leaf":
+                            continue
+                        if roots[i][4] + roots[j][4] > LEAF_CAP:
+                            continue
+                        ulo = np.minimum(roots[i][2], roots[j][2])
+                        uhi = np.maximum(roots[i][3], roots[j][3])
+                        a = union_area(ulo, uhi)
+                        if best is None or a < best[0]:
+                            best = (a, i, j, ulo, uhi)
+                # only merge if a further expansion is actually possible
+                if best is not None and any(
+                    e[0] == "node" for e in roots
+                ):
+                    _, i, j, ulo, uhi = best
+                    merged = ("leaf", roots[i][1] + roots[j][1], ulo, uhi,
+                              roots[i][4] + roots[j][4])
+                    roots = [e for k, e in enumerate(roots)
+                             if k not in (i, j)] + [merged]
+            if len(roots) >= WIDTH:
+                break
             pick = -1
             if strategy == "first":
-                for i, r in enumerate(roots):
-                    if left[r] != -1:
+                for i, e in enumerate(roots):
+                    if e[0] == "node":
                         pick = i
                         break
             else:  # area
                 best_a = -1.0
-                for i, r in enumerate(roots):
-                    if left[r] != -1 and area[r] > best_a:
-                        best_a = area[r]
+                for i, e in enumerate(roots):
+                    if e[0] == "node" and area[e[1]] > best_a:
+                        best_a = area[e[1]]
                         pick = i
             if pick < 0:
                 break
-            r = roots.pop(pick)
-            roots.extend([left[r], right[r]])
+            r = roots.pop(pick)[1]
+            roots.extend([as_entry(left[r]), as_entry(right[r])])
         wide_children[wid] = roots
-        for r in roots:
-            if left[r] != -1:
-                queue.append(r)
+        for e in roots:
+            if e[0] == "node":
+                queue.append(e[1])
 
     nn8 = len(wide_children)
     nodes = np.zeros((nn8, bvh8.NODE_ROW), np.float32)
     codes_arr = np.full((nn8, WIDTH), -1, np.int32)
     B = NODE_BASE
     for wid, roots in enumerate(wide_children):
-        for k, r in enumerate(roots):
-            code = make_leaf(r) if left[r] == -1 else wide_of_binary[r]
-            codes_arr[wid, k] = code
-            nodes[wid, B + 6 * k : B + 6 * k + 3] = lo[r]
-            nodes[wid, B + 6 * k + 3 : B + 6 * k + 6] = hi[r]
+        for k, e in enumerate(roots):
+            if e[0] == "node":
+                codes_arr[wid, k] = wide_of_binary[e[1]]
+                elo, ehi = lo[e[1]], hi[e[1]]
+            else:
+                codes_arr[wid, k] = make_leaf(e[1])
+                elo, ehi = e[2], e[3]
+            nodes[wid, B + 6 * k : B + 6 * k + 3] = elo
+            nodes[wid, B + 6 * k + 3 : B + 6 * k + 6] = ehi
         for k in range(len(roots), WIDTH):
             nodes[wid, B + 6 * k : B + 6 * k + 3] = 3e38
             nodes[wid, B + 6 * k + 3 : B + 6 * k + 6] = -3e38
@@ -137,9 +194,14 @@ def collapse(strategy: str, lo=None, hi=None, left=None, right=None,
     L = max(len(leaf_rows), 1)
     leaf_tris = np.zeros((L, LEAF_ROW), np.float32)
     leaf_face = np.full((L, LEAF_CAP), -1, np.int32)
-    for li, (f0, c) in enumerate(leaf_rows):
-        leaf_tris[li, : 9 * c] = tv_flat[f0 : f0 + c].reshape(-1)
-        leaf_face[li, :c] = fg[f0 : f0 + c]
+    for li, ranges in enumerate(leaf_rows):
+        o = 0
+        for f0, c in ranges:
+            leaf_tris[li, 9 * o : 9 * (o + c)] = tv_flat[
+                f0 : f0 + c
+            ].reshape(-1)
+            leaf_face[li, o : o + c] = fg[f0 : f0 + c]
+            o += c
     leaf_tris[:, FACE_OFF:LEAF_ROW] = leaf_face.view(np.float32)
     return nodes, leaf_tris
 
@@ -233,12 +295,12 @@ def report(tag, nodes, leaf_tris, tc):
     )
 
 
-for strat in ("first", "area"):
+for strat in ("first", "area", "first+lm"):
     t0 = time.time()
     nodes, leaf_tris = collapse(strat)
     report(strat, nodes, leaf_tris, time.time() - t0)
 
-for alpha in (1e-4, 1e-5):
+for alpha in (1e-4,):
     t0 = time.time()
     sb = try_build_sbvh_native(V, F, LEAF_CAP, alpha=alpha,
                                budget_factor=2.0)
@@ -247,10 +309,13 @@ for alpha in (1e-4, 1e-5):
         break
     slo, shi, sl, sr, sf, sc, sorder, _ = sb
     stv, sfg = derived(sorder)
-    nodes, leaf_tris = collapse(
-        "area", lo=slo, hi=shi, left=sl, right=sr, first=sf, count=sc,
-        tv_flat=stv, fg=sfg,
-    )
     print(f"  sbvh build a={alpha:g}: refs {len(sorder)} "
           f"(+{100.0*(len(sorder)-len(F))/len(F):.1f}%)", flush=True)
-    report(f"sbvh a={alpha:g} + area", nodes, leaf_tris, time.time() - t0)
+    for strat in ("first", "first+lm", "area"):
+        t0 = time.time()
+        nodes, leaf_tris = collapse(
+            strat, lo=slo, hi=shi, left=sl, right=sr, first=sf, count=sc,
+            tv_flat=stv, fg=sfg,
+        )
+        report(f"sbvh a={alpha:g} + {strat}", nodes, leaf_tris,
+               time.time() - t0)
