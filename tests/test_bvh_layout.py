@@ -55,6 +55,13 @@ print("LAYOUT_OK", w, c)
         {"M3T_BVH_WIDTH": "16"},
         {"M3T_LEAF_CAP": "16"},
         {"M3T_BVH_WIDTH": "16", "M3T_LEAF_CAP": "16"},
+        # object-split-only build (spatial splits disabled)
+        {"M3T_SBVH": "0"},
+        # aggressive spatial splitting: near-zero overlap threshold forces
+        # many duplicated references through the oracle equality
+        {"M3T_SBVH": "1", "M3T_SBVH_ALPHA": "1e-9"},
+        # SA-greedy collapse on the SBVH tree
+        {"M3T_COLLAPSE": "area"},
     ],
     ids=lambda e: "+".join(f"{k.split('_')[-1]}{v}" for k, v in e.items()),
 )
