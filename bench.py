@@ -48,32 +48,60 @@ def _ladder():
     return base
 
 
+def _d65_rung():
+    """The reference bedroom's actual spec (scene.xml:6 max_depth=65) as a
+    companion measurement: same scene/res, depth 65, sorted replay (the
+    measured winner at this depth — BENCH.md round 4).  Skippable with
+    BENCH_SKIP_D65=1."""
+    if os.environ.get("BENCH_SKIP_D65") == "1" or \
+            os.environ.get("BENCH_SMALL") == "1":
+        return None
+    return dict(res="1280x720", spp=4, depth=65, tris=2_000_000, chunk=768)
+
+
+def _run_cfg(cfg, deadline):
+    """One worker subprocess; returns the parsed JSON result or None."""
+    cmd = [
+        sys.executable, os.path.join(REPO, "bench.py"), "--worker",
+        json.dumps(cfg),
+    ]
+    try:
+        out = subprocess.run(
+            cmd, timeout=deadline, capture_output=True, text=True,
+            cwd=REPO,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode == 0 and lines:
+            return json.loads(lines[-1])
+        print(
+            f"# config {cfg} failed rc={out.returncode}: "
+            f"{out.stderr.strip().splitlines()[-1][:200] if out.stderr.strip() else ''}",
+            flush=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# config {cfg} exceeded {deadline}s (cold compile?); "
+              f"falling back", flush=True)
+    return None
+
+
 def main():
     deadline = int(os.environ.get("BENCH_ATTEMPT_DEADLINE", "2400"))
     for cfg in _ladder():
-        cmd = [
-            sys.executable, os.path.join(REPO, "bench.py"), "--worker",
-            json.dumps(cfg),
-        ]
-        try:
-            out = subprocess.run(
-                cmd, timeout=deadline, capture_output=True, text=True,
-                cwd=REPO,
-            )
-            lines = [
-                l for l in out.stdout.splitlines() if l.startswith("{")
-            ]
-            if out.returncode == 0 and lines:
-                print(lines[-1])
-                return
-            print(
-                f"# config {cfg} failed rc={out.returncode}: "
-                f"{out.stderr.strip().splitlines()[-1][:200] if out.stderr.strip() else ''}",
-                flush=True,
-            )
-        except subprocess.TimeoutExpired:
-            print(f"# config {cfg} exceeded {deadline}s (cold compile?); "
-                  f"falling back", flush=True)
+        res = _run_cfg(cfg, deadline)
+        if res is not None:
+            # companion rung: the reference's own depth-65 spec, reported
+            # under extra so the headline stays config-comparable across
+            # rounds (VERDICT r3 #1/#4)
+            d65 = _d65_rung()
+            if d65 is not None and cfg.get("depth") == 8:
+                r65 = _run_cfg(d65, deadline)
+                if r65 is not None:
+                    res.setdefault("extra", {})["fwd_bwd_d65_rays_per_s"] = \
+                        r65["value"]
+                    res["extra"]["fwd_d65_rays_per_s"] = \
+                        r65.get("extra", {}).get("fwd_rays_per_s")
+            print(json.dumps(res))
+            return
     # absolute last resort: report zero rather than nothing
     print(json.dumps({
         "metric": "camera rays/s/chip (path-MIS fwd, bedroom-class)",
@@ -164,7 +192,7 @@ def worker(cfg):
     else:
         pkw = dict(
             spp=spp, max_depth=depth, rr_depth=4, rfilter="tent",
-            n_lanes=cfg.get("n_lanes", 65536), steps=cfg.get("steps", 24),
+            n_lanes=cfg.get("n_lanes", 65536), steps=cfg.get("steps", 20),
             rounds_per_launch=cfg.get("rpl", 32),
         )
         img = render_persistent(scene, seed=0, **pkw)
@@ -240,15 +268,15 @@ def worker(cfg):
         # grads match the scan-AD integrator — tests/test_replay.py)
         from mitsuba3_experiments_tpu.integrators.replay import (
             record_full,
-            replay_grads_full,
-            replay_grads_sorted,
+            replay_grads,
         )
 
-        # BENCH_REPLAY=sorted: path-length-sorted bucketed replay (per-
-        # chunk truncated depth scans + adjoint loss decomposition) — same
-        # gradients (tests/test_replay.py), fewer wasted scan steps on
-        # short paths
-        replay_sorted = os.environ.get("BENCH_REPLAY", "full") == "sorted"
+        # BENCH_REPLAY: auto (default — sorted for deep scans, full for
+        # shallow; see replay.replay_grads) | sorted | full, same
+        # gradients either way (tests/test_replay.py)
+        replay_mode = cfg.get(
+            "replay", os.environ.get("BENCH_REPLAY", "auto")
+        )
 
         n_rays = n * spp
         lanes = cfg.get("n_lanes", 65536)
@@ -256,7 +284,7 @@ def worker(cfg):
         pad = ((n_rays + rchunk - 1) // rchunk) * rchunk
         rkw = dict(
             spp=spp, max_depth=depth, rr_depth=4,
-            steps=cfg.get("steps", 24),
+            steps=cfg.get("steps", 20),
             rounds_per_launch=cfg.get("rpl", 32),
         )
 
@@ -264,12 +292,10 @@ def worker(cfg):
             rec = record_full(
                 scene, seed, n_rays, n_lanes=lanes, pad_to=pad, **rkw,
             )
-            grads = replay_grads_sorted if replay_sorted \
-                else replay_grads_full
-            return grads(
+            return replay_grads(
                 scene, diff_params, update, target, seed, rec, n_rays,
                 chunk=rchunk, spp=spp, max_depth=depth, rr_depth=4,
-                rfilter="box",
+                rfilter="box", mode=replay_mode,
             )
 
         g = fwd_bwd(0)
@@ -295,6 +321,26 @@ def worker(cfg):
     }
     with open(os.path.join(REPO, "bench_history.json"), "w") as f:
         json.dump(hist, f, indent=1)
+
+    extra = {"fwd_rays_per_s": round(rays_per_s, 1)}
+    # roofline ledger (BENCH.md): architectural ceiling = the chip's
+    # measured dependent-gather row floor divided by the ACTIVE rows each
+    # ray needs (scripts/roofline_probe.py writes roofline.json on chip);
+    # pct_of_ceiling is the honest MFU analog ("published": {} in
+    # BASELINE.json — there is no external number to beat).
+    try:
+        with open(os.path.join(REPO, "roofline.json")) as f:
+            rl = json.load(f).get(f"d{depth}", {})
+        if rl.get("fwd_ceiling_rays_s"):
+            extra["pct_of_ceiling_fwd"] = round(
+                100.0 * rays_per_s / rl["fwd_ceiling_rays_s"], 1
+            )
+        if rl.get("fwdbwd_ceiling_rays_s"):
+            extra["pct_of_ceiling_fwd_bwd"] = round(
+                100.0 * fwdbwd_rays_per_s / rl["fwdbwd_ceiling_rays_s"], 1
+            )
+    except Exception:
+        pass
     print(json.dumps({
         "metric": (
             f"camera rays/s/chip (path-MIS fwd+bwd, bedroom-class "
@@ -303,7 +349,7 @@ def worker(cfg):
         "value": round(fwdbwd_rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs, 4),
-        "extra": {"fwd_rays_per_s": round(rays_per_s, 1)},
+        "extra": extra,
     }))
 
 

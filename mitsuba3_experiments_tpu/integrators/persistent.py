@@ -56,14 +56,7 @@ from ..render.emitter import (
     pdf_environment_direction,
     sample_emitter_direction,
 )
-from ..scene.bvh8 import (
-    FACE_OFF,
-    LEAF_CAP,
-    LEAF_ROW,
-    NODE_BASE,
-    STACK_DEPTH,
-    WIDTH,
-)
+from ..scene.bvh8 import DEFAULT_LAYOUT, BVHLayout
 from ..scene.types import Scene
 from .common import mis_weight
 from .wavefront import _rand
@@ -74,24 +67,42 @@ DONE = jnp.int32(-1)
 P_TRACE = 0
 P_SHADOW = 1
 P_RETIRE = 2
-# how many leading culled stack entries one pop can skip (elementwise
-# prefix scan depth); DEFAULT 0 = disabled: the windowed t-stack was
-# measured a NET LOSS on the flagship (188k vs 242k rays/s fwd at
-# 65536/24) — the host probe (scripts/cullpop_probe.py) shows culled pops
-# are only 9-13% of iterations, less than the extra shift-variant cost.
-# Kept as an A/B knob for scenes with heavier overlap.
-DROP_SCAN = int(os.environ.get("M3T_DROP_SCAN", "0"))
-# the t-stack is a WINDOW over the top of the code stack: only the top
-# TSTACK_W entries carry their push-time t_near (pops are DFS-local, so
-# that is where culls happen); entries revealed from below read -inf =
-# "unknown, never cull" — strictly conservative, always correct
-TSTACK_W = DROP_SCAN + WIDTH if DROP_SCAN else 1
-# spread idle lanes' discarded gather rows across the table (1) vs the
-# round-2 shared dummy row (0) — see the bank-conflict note in _trav_steps
-IDLE_SPREAD = int(os.environ.get("M3T_IDLE_SPREAD", "1"))
-# ray index -> pixel order: 'row' (reference row-major) or 'tile'
-# (tile-major; see ray_pixel)
-RAY_ORDER = os.environ.get("M3T_RAY_ORDER", "row")
+
+
+@dataclasses.dataclass(frozen=True)
+class StepperConfig:
+    """Scheduling knobs of the persistent machine as one hashable value
+    (round-4 config consolidation — formerly M3T_* module globals).
+    Hashable, so it rides jit static args; A/Bs run in one process.
+
+    idle_spread  spread idle lanes' discarded gather rows across the table
+                 instead of a shared dummy row — the round-3 gather probe
+                 measured duplicate indices 1.45x SLOWER than random (bank
+                 conflicts serialize), so a shared dummy row makes idle
+                 lanes actively expensive rather than free.  Default ON.
+    ray_order    camera-ray index -> pixel order: 'row' (reference
+                 row-major) or 'tile' (tile-major, see ray_pixel).
+                 Measured neutral on the flagship (round 3); 'row' keeps
+                 reference parity.
+
+    Removed (measured-negative machinery, round 3 — see git history and
+    BENCH.md): the windowed t-stack culled-pop skip (M3T_DROP_SCAN) cost
+    more in shift-variant traffic than its 9-13% iteration savings
+    (188k vs 242k rays/s) and is deleted from the stepper body.
+    """
+
+    idle_spread: bool = True
+    ray_order: str = "row"
+
+    @staticmethod
+    def from_env() -> "StepperConfig":
+        return StepperConfig(
+            idle_spread=os.environ.get("M3T_IDLE_SPREAD", "1") == "1",
+            ray_order=os.environ.get("M3T_RAY_ORDER", "row"),
+        )
+
+
+DEFAULT_STEPPER = StepperConfig.from_env()
 
 
 @jstruct
@@ -119,15 +130,17 @@ class PersistentState:
     tr_d: jnp.ndarray       # (N, 3)
     tr_cur: jnp.ndarray     # (N,) i32 node code (DONE = finished)
     tr_sp: jnp.ndarray      # (N,) i32 stack pointer
-    tr_stack: jnp.ndarray   # (N, STACK_DEPTH) i32 shift-register, top = col 0
-    tr_tstack: jnp.ndarray  # (N, TSTACK_W) f32 top-entry t_near (pop cull)
+    tr_stack: jnp.ndarray   # (N, layout.stack) i32 shift-register, top=col 0
     tr_t: jnp.ndarray       # (N,) best-hit t (init: maxt)
     tr_face: jnp.ndarray    # (N,) i32 best face (-1 none)
     tr_u: jnp.ndarray      # (N,)
     tr_v: jnp.ndarray      # (N,)
 
     @staticmethod
-    def empty(n: int):
+    def empty(n: int, stack_depth: int | None = None):
+        """stack_depth should be the scene BVH's layout.stack (defaults to
+        DEFAULT_LAYOUT's); _trav_steps reads it back from tr_stack.shape."""
+        sd = DEFAULT_LAYOUT.stack if stack_depth is None else stack_depth
         z3 = lambda: jnp.zeros((n, 3), m.Float)  # noqa: E731
         zi = lambda v=0: jnp.full((n,), v, jnp.int32)  # noqa: E731
         zf = lambda v=0.0: jnp.full((n,), v, m.Float)  # noqa: E731
@@ -140,8 +153,7 @@ class PersistentState:
             nee_L=z3(), next_o=z3(), next_d=z3(),
             cont=jnp.zeros((n,), bool), phase=zi(P_TRACE),
             tr_o=z3(), tr_d=z3(), tr_cur=zi(DONE), tr_sp=zi(0),
-            tr_stack=jnp.zeros((n, STACK_DEPTH), jnp.int32),
-            tr_tstack=jnp.full((n, TSTACK_W), -jnp.inf, m.Float),
+            tr_stack=jnp.zeros((n, sd), jnp.int32),
             tr_t=zf(0.0), tr_face=zi(-1), tr_u=zf(), tr_v=zf(),
         )
 
@@ -168,7 +180,9 @@ def unify_tables(bvh):
 
 
 def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
-                occl=None, sh_depth=None):
+                occl=None, sh_depth=None,
+                layout: BVHLayout | None = None,
+                idle_spread: bool = True):
     """Advance every in-flight traversal by at most k iterations.
 
     One fused stepper serves both phases: P_SHADOW lanes early-exit on any
@@ -185,18 +199,9 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
     lanes) instead of the scatter + pop-gather pair (~2 latency-bound ops,
     measured the bulk of the 2.4 ms/iteration round-2 stepper cost).
     Bottom entries fall off on overflow; bvh8.collapse_to_wide asserts at
-    build time that the collapsed depth fits STACK_DEPTH, so overflow
-    cannot occur.
-
-    CULLED-POP SKIP (round 3): a parallel f32 shift-register holds each
-    entry's t_near at push time.  Since the round-3 gather probe shows the
-    row gather is row-THROUGHPUT bound (~12 ns/row — cost scales linearly
-    with lanes), every avoided iteration is a linear win: when popping,
-    the top DROP_SCAN entries whose t_near >= t_best (their whole subtree
-    can no longer improve the hit — also exact for any-hit, where t_best
-    is the shadow segment length) are skipped in the SAME iteration with
-    pure elementwise prefix math, instead of each wasting a full
-    gather+test iteration as in round 2.
+    build time that the collapsed depth fits layout.stack, so overflow
+    cannot occur.  (A windowed t-stack culled-pop skip lived here in round
+    3 and measured a NET LOSS — 188k vs 242k rays/s; see git history.)
 
     Shadow resolve is INLINE: a P_SHADOW lane whose any-hit completes is
     resolved at the top of the next iteration (add the pending NEE
@@ -210,7 +215,14 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
     When `occl`/`sh_depth` are given (the path-replay recorder,
     integrators/replay.py), each inline resolve also sets
     occl[lane, sh_depth-1] = shadow-ray occluded, and the function returns
-    (state, occl)."""
+    (state, occl).
+
+    `layout` (static) gives the packed-row offsets; None = DEFAULT_LAYOUT.
+    Stack capacity is read from st.tr_stack.shape."""
+    lay = layout if layout is not None else DEFAULT_LAYOUT
+    WIDTH, LEAF_CAP = lay.width, lay.leaf_cap
+    NODE_BASE, FACE_OFF, LEAF_ROW = lay.node_base, lay.face_off, lay.leaf_row
+    STACK_DEPTH = st.tr_stack.shape[1]
     n = st.alive.shape[0]
     ki = jnp.arange(WIDTH, dtype=jnp.int32)
     col8 = ki[None, :]
@@ -226,10 +238,10 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
 
     def body(_, carry):
         if record:
-            (cur, sp, stack, tstack, t_best, face_best, u_best, v_best,
+            (cur, sp, stack, t_best, face_best, u_best, v_best,
              o, d, phase, L, occl) = carry
         else:
-            (cur, sp, stack, tstack, t_best, face_best, u_best, v_best,
+            (cur, sp, stack, t_best, face_best, u_best, v_best,
              o, d, phase, L) = carry
             occl = None
 
@@ -270,7 +282,7 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
         # measured duplicate indices 1.45x SLOWER than random (bank
         # conflicts serialize), so a shared dummy row makes idle lanes
         # actively expensive rather than free.
-        if IDLE_SPREAD:
+        if idle_spread:
             row_idx = jnp.where(live, row_idx, lane_iota % total_rows)
         row = jnp.take(unified, row_idx, axis=0)          # (N, 88)
         codes = jax.lax.bitcast_convert_type(row[:, 0:WIDTH], jnp.int32)
@@ -333,61 +345,28 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
 
         descend = is_int & any_child
         want_pop = live & ~early_done & ~descend
-        # culled-pop skip: k_drop = length of the leading stack prefix whose
-        # subtree t_near >= t_best (capped at DROP_SCAN); those entries are
-        # skipped in this same iteration with pure elementwise math
-        culled = jnp.ones_like(want_pop)
-        k_drop = jnp.zeros_like(sp)
-        for j in range(DROP_SCAN):
-            culled = culled & (j < sp) & (tstack[:, j] >= t_best)
-            k_drop = k_drop + culled.astype(jnp.int32)
-        k_drop = jnp.where(want_pop, k_drop, 0)
-        can_pop = want_pop & (sp > k_drop)
-        popped = stack[:, 0]
-        for j in range(1, DROP_SCAN + 1):
-            popped = jnp.where(k_drop == j, stack[:, j], popped)
-        popped = jnp.where(can_pop, popped, DONE)
-        nxt = jnp.where(
-            descend, near_code, jnp.where(want_pop, popped, DONE)
-        )
+        can_pop = want_pop & (sp > 0)
+        popped = jnp.where(can_pop, stack[:, 0], DONE)
+        nxt = jnp.where(descend, near_code, jnp.where(want_pop, popped, DONE))
         nxt = jnp.where(live & ~early_done, nxt, DONE)
         sp_new = jnp.where(
             descend, jnp.minimum(sp + n_push, STACK_DEPTH),
-            jnp.where(can_pop, sp - k_drop - 1, sp),
+            jnp.where(can_pop, sp - 1, sp),
         )
         sp_new = jnp.where(nxt == DONE, 0, sp_new)
 
-        # shift-register update (codes + t_near in lockstep): right by
-        # n_push on descend, left by k_drop+1 on pop
-        shift = jnp.where(descend, n_push, 0) - jnp.where(
-            can_pop, k_drop + 1, 0
+        # shift-register update: right by n_push on descend, left 1 on pop
+        shift = jnp.where(descend, n_push, 0) - can_pop.astype(jnp.int32)
+        res = jnp.where(
+            (shift == -1)[:, None],
+            jnp.concatenate(
+                [stack[:, 1:], jnp.full((n, 1), DONE, jnp.int32)], axis=1
+            ),
+            stack,
         )
-        res, rest = stack, tstack
-        for s in range(1, DROP_SCAN + 2):
-            m_s = (shift == -s)[:, None]
-            res = jnp.where(
-                m_s,
-                jnp.concatenate(
-                    [stack[:, s:], jnp.full((n, s), DONE, jnp.int32)],
-                    axis=1,
-                ),
-                res,
-            )
-            if DROP_SCAN:
-                # entries revealed from below the window are unknown (-inf)
-                rest = jnp.where(
-                    m_s,
-                    jnp.concatenate(
-                        [tstack[:, s:],
-                         jnp.full((n, s), -jnp.inf, m.Float)],
-                        axis=1,
-                    ),
-                    rest,
-                )
         for s in range(1, WIDTH):
-            m_s = (shift == s)[:, None]
             res = jnp.where(
-                m_s,
+                (shift == s)[:, None],
                 jnp.concatenate(
                     [jnp.zeros((n, s), jnp.int32),
                      stack[:, : STACK_DEPTH - s]],
@@ -395,44 +374,29 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
                 ),
                 res,
             )
-            if DROP_SCAN:
-                rest = jnp.where(
-                    m_s,
-                    jnp.concatenate(
-                        [jnp.full((n, s), -jnp.inf, m.Float),
-                         tstack[:, : TSTACK_W - s]],
-                        axis=1,
-                    ),
-                    rest,
-                )
         # insert pushed codes at columns 0..n_push-1, nearest at column 0
         head = res[:, :WIDTH]
-        headt = rest[:, :WIDTH] if DROP_SCAN else None
         for kk in range(WIDTH):
             colk = (n_push - 1 - rank_far[:, kk])[:, None]
             mk = (push_mask[:, kk] & descend)[:, None]
             sel = (col8 == colk) & mk
             head = jnp.where(sel, codes[:, kk : kk + 1], head)
-            if DROP_SCAN:
-                headt = jnp.where(sel, t_near[:, kk : kk + 1], headt)
         stack = jnp.concatenate([head, res[:, WIDTH:]], axis=1)
-        if DROP_SCAN:
-            tstack = jnp.concatenate([headt, rest[:, WIDTH:]], axis=1)
-        out = (nxt, sp_new, stack, tstack, t_best, face_best, u_best,
+        out = (nxt, sp_new, stack, t_best, face_best, u_best,
                v_best, o, d, phase, L)
         return out + (occl,) if record else out
 
-    init = (st.tr_cur, st.tr_sp, st.tr_stack, st.tr_tstack, st.tr_t,
+    init = (st.tr_cur, st.tr_sp, st.tr_stack, st.tr_t,
             st.tr_face, st.tr_u, st.tr_v, st.tr_o, st.tr_d, st.phase, st.L)
     if record:
         init = init + (occl,)
     fin = jax.lax.fori_loop(0, k, body, init)
-    (cur, sp, stack, tstack, t, face, u, v, o, d, phase, L) = fin[:12]
+    (cur, sp, stack, t, face, u, v, o, d, phase, L) = fin[:11]
     st = dataclasses.replace(st,
-        tr_cur=cur, tr_sp=sp, tr_stack=stack, tr_tstack=tstack, tr_t=t,
+        tr_cur=cur, tr_sp=sp, tr_stack=stack, tr_t=t,
         tr_face=face, tr_u=u, tr_v=v, tr_o=o, tr_d=d, phase=phase, L=L,
     )
-    return (st, fin[12]) if record else st
+    return (st, fin[11]) if record else st
 
 
 def _retire(scene: Scene, st: PersistentState, rayL, *, deferred_pad):
@@ -479,18 +443,21 @@ def _tile_dims(w: int, h: int):
     return tw, th
 
 
-def ray_pixel(camera, pix):
+def ray_pixel(camera, pix, order: str | None = None):
     """Map a linear pixel rank to (px, py).
 
-    M3T_RAY_ORDER=tile renumbers pixels tile-major (default tiles up to
+    order='tile' renumbers pixels tile-major (default tiles up to
     128x128): consecutive ray indices then cover a compact 2-D tile
     instead of a 1280-wide row band, so the ~65k in-flight rays of the
     persistent machine stay spatially coherent — the chip's gather engine
     measurably rewards index locality (BENCH.md round 3: strided ownership
     that DESTROYED the band locality lost 15%).  Default 'row' keeps the
-    reference's row-major order."""
+    reference's row-major order.  None reads StepperConfig.from_env-style
+    DEFAULT_STEPPER (measured neutral on the flagship, round 3)."""
+    if order is None:
+        order = DEFAULT_STEPPER.ray_order
     w, h = camera.resolution
-    if RAY_ORDER == "tile":
+    if order == "tile":
         tw, th = _tile_dims(w, h)
         per_tile = jnp.uint32(tw * th)
         tiles_x = jnp.uint32(w // tw)
@@ -667,16 +634,17 @@ def _refill_persistent(scene: Scene, st: PersistentState, next_ray, seed, *,
 @partial(
     jax.jit,
     static_argnames=("n_nodes", "spp", "max_depth", "rr_depth", "steps",
-                     "n_rounds"),
+                     "n_rounds", "idle_spread"),
     donate_argnums=(1, 2, 3),
 )
 def _run_persistent(scene: Scene, st: PersistentState, rayL, next_ray,
                     seed, ray_end, unified, idx0, *, n_nodes: int, spp: int,
                     max_depth: int, rr_depth: int, steps: int,
-                    n_rounds: int):
+                    n_rounds: int, idle_spread: bool = True):
     """`rayL` is the deferred per-ray radiance buffer (rows + 1 dummy);
     `idx0` the camera-ray index of its row 0 (device offset when sharded)."""
     n_pad = jnp.uint32(rayL.shape[0] - 1)
+    layout = scene.bvh.layout  # static pytree aux (None -> DEFAULT_LAYOUT)
 
     def one_round(carry, _):
         st, rayL, next_ray = carry
@@ -687,7 +655,8 @@ def _run_persistent(scene: Scene, st: PersistentState, rayL, next_ray,
         st, next_ray = _refill_persistent(
             scene, st, next_ray, seed, spp=spp, ray_end=ray_end
         )
-        st = _trav_steps(unified, n_nodes, st, steps)
+        st = _trav_steps(unified, n_nodes, st, steps, layout=layout,
+                         idle_spread=idle_spread)
         return (st, rayL, next_ray), None
 
     (st, rayL, next_ray), _ = jax.lax.scan(
@@ -704,7 +673,8 @@ def _poll(st: PersistentState, next_ray):
 def render_persistent(scene: Scene, seed: int = 0, spp: int = 16,
                       max_depth: int = 16, rr_depth: int = 4,
                       rfilter: str = "box", n_lanes: int = 32768,
-                      steps: int = 16, rounds_per_launch: int = 8):
+                      steps: int = 16, rounds_per_launch: int = 8,
+                      stepper: StepperConfig | None = None):
     """Full-frame render with the persistent state-machine wavefront.
 
     `steps` bounds traversal iterations per round; `rounds_per_launch`
@@ -717,10 +687,12 @@ def render_persistent(scene: Scene, seed: int = 0, spp: int = 16,
     w, h = scene.camera.resolution
     n_total = w * h * spp
     n_lanes = min(n_lanes, n_total)
+    cfg = stepper if stepper is not None else DEFAULT_STEPPER
 
     seed_u = jnp.uint32(seed)
     rayL = jnp.zeros((n_total + 1, 3), m.Float)
-    st = PersistentState.empty(n_lanes)
+    lay = scene.bvh.layout or DEFAULT_LAYOUT
+    st = PersistentState.empty(n_lanes, stack_depth=lay.stack)
     next_ray = jnp.zeros((), jnp.uint32)
     unified, n_nodes = unify_tables(scene.bvh)
     idx0 = jnp.uint32(0)
@@ -729,6 +701,7 @@ def render_persistent(scene: Scene, seed: int = 0, spp: int = 16,
             scene, st, rayL, next_ray, seed_u, jnp.uint32(n_total),
             unified, idx0, n_nodes=n_nodes, spp=spp, max_depth=max_depth,
             rr_depth=rr_depth, steps=steps, n_rounds=rounds_per_launch,
+            idle_spread=cfg.idle_spread,
         )
         n_alive, cursor = jax.device_get(_poll(st, next_ray))
         if int(cursor) >= n_total and int(n_alive) == 0:

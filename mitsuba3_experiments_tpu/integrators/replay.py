@@ -126,7 +126,8 @@ def _run_record(scene: Scene, st: pp.PersistentState, rec: PathRecord,
             scene, st, seed, max_depth=max_depth, rr_depth=rr_depth
         )
         st, occl = pp._trav_steps(
-            unified, n_nodes, st, steps, occl=rec.occl, sh_depth=sh_depth
+            unified, n_nodes, st, steps, occl=rec.occl, sh_depth=sh_depth,
+            layout=scene.bvh.layout,
         )
         rec = dataclasses.replace(rec, occl=occl)
         return (st, rec, sh_depth), None
@@ -142,7 +143,9 @@ def record_chunk(scene: Scene, seed, idx0: int, n: int, *, spp: int,
                  rounds_per_launch: int = 8, ray_end=None):
     """Trace camera rays [idx0, idx0+n) — one per lane, no refill — and
     return their PathRecord."""
-    st = pp.PersistentState.empty(n)
+    st = pp.PersistentState.empty(
+        n, stack_depth=None if scene.bvh.layout is None
+        else scene.bvh.layout.stack)
     seed_u = jnp.uint32(seed)
     if ray_end is None:
         ray_end = idx0 + n
@@ -252,7 +255,8 @@ def _run_record_full(scene: Scene, st: pp.PersistentState, loc: PathRecord,
         sh_depth = jnp.where(took, 1, sh_depth)
 
         st, occl = pp._trav_steps(
-            unified, n_nodes, st, steps, occl=loc.occl, sh_depth=sh_depth
+            unified, n_nodes, st, steps, occl=loc.occl, sh_depth=sh_depth,
+            layout=scene.bvh.layout,
         )
         loc = dataclasses.replace(loc, occl=occl)
         return (st, loc, glob, sh_depth, next_ray), None
@@ -275,7 +279,9 @@ def record_full(scene: Scene, seed, n_rays: int, *, spp: int,
     their film contribution to zero)."""
     n_lanes = min(n_lanes, n_rays)
     rows = max(pad_to or n_rays, n_rays)
-    st = pp.PersistentState.empty(n_lanes)
+    st = pp.PersistentState.empty(
+        n_lanes, stack_depth=None if scene.bvh.layout is None
+        else scene.bvh.layout.stack)
     loc = PathRecord.empty(n_lanes, max_depth)
     # packed global record (+1 dummy flush row); prim=-1 miss rows are
     # all-bits-one floats in channel 0
@@ -455,13 +461,80 @@ def _replay_adj_chunk(scene, params, adj, rec, order_j, seed, ray_end, *,
     return jax.grad(scalar)(params)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("spp", "max_depth", "rr_depth", "rfilter", "n_steps"),
+    donate_argnums=(1,),
+)
+def _replay_fwd_class(scene, film, rec, orders, seed, ray_end, *,
+                      spp: int, max_depth: int, rr_depth: int,
+                      rfilter: str, n_steps: int):
+    """All same-depth-class chunks' forward splats as ONE lax.scan — the
+    ~50 ms/dispatch tunnel latency (BENCH.md dispatch_bench.py) is paid
+    once per CLASS instead of once per chunk."""
+
+    def one(film, oj):
+        sl = jax.tree_util.tree_map(lambda a: a[oj], rec)
+        L, pos, act0 = replay_radiance(
+            scene, sl, seed, 0, spp=spp, max_depth=max_depth,
+            rr_depth=rr_depth, ray_end=ray_end, idx=oj, n_steps=n_steps,
+        )
+        film = filmlib.put(
+            film, pos, jnp.where(jnp.isfinite(L), L, 0.0), active=act0,
+            rfilter=rfilter,
+        )
+        return film, None
+
+    film, _ = jax.lax.scan(one, film, orders)
+    return film
+
+
+@partial(
+    jax.jit,
+    static_argnames=("update_fn", "spp", "max_depth", "rr_depth",
+                     "rfilter", "n_steps"),
+    donate_argnums=(2,),
+)
+def _replay_adj_class(scene, params, acc, adj, rec, orders, seed,
+                      ray_end, *, update_fn, spp: int, max_depth: int,
+                      rr_depth: int, rfilter: str, n_steps: int):
+    """All same-class chunks' adjoint grads as ONE lax.scan (see
+    _replay_fwd_class)."""
+    w, h = scene.camera.resolution
+
+    def one(acc, oj):
+        def scalar(p):
+            s = update_fn(scene, p)
+            L, pos, act0 = replay_radiance(
+                s, jax.tree_util.tree_map(lambda a: a[oj], rec), seed, 0,
+                spp=spp, max_depth=max_depth, rr_depth=rr_depth,
+                ray_end=ray_end, idx=oj, n_steps=n_steps,
+            )
+            film = filmlib.put(
+                filmlib.new_film(w, h), pos,
+                jnp.where(jnp.isfinite(L), L, 0.0), active=act0,
+                rfilter=rfilter,
+            )
+            return jnp.sum(adj * film[..., :3])
+
+        g = jax.grad(scalar)(params)
+        return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+    acc, _ = jax.lax.scan(one, acc, orders)
+    return acc
+
+
 def replay_grads_sorted(scene: Scene, params: dict, update_fn, target,
                         seed, rec: PathRecord, n_rays: int, *, chunk: int,
                         spp: int, max_depth: int, rr_depth: int,
-                        rfilter: str = "box"):
+                        rfilter: str = "box", fused: bool = True):
     """Grad accumulation over a full-frame PathRecord, rows sorted by
     recorded path length so each chunk's depth scan runs only as long as
     its LONGEST path (classes on a doubling ladder -> log D compiles).
+    Measured on the flagship at max_depth 65 (the reference bedroom spec,
+    /root/reference/data/bedroom/scene.xml:6): RR kills most paths at 5-8
+    bounces (p95 = 11), so uniform replay wastes ~85% of its scan steps —
+    sorted fwd+bwd 113.6k rays/s vs 64.4k full (artifacts/r4).
 
     Exactness despite sorting: chunks no longer partition pixels, so the
     per-chunk-MSE decomposition of replay_grads_full would be wrong (the
@@ -472,7 +545,12 @@ def replay_grads_sorted(scene: Scene, params: dict, update_fn, target,
     is computed ONCE from a forward-only bucketed pass, and each chunk then
     contributes grad of <adj, S_chunk> — linear in the chunk splats, so the
     sum over chunks equals the whole-frame gradient exactly (standard
-    adjoint/VJP decomposition; tested against replay_grads_full)."""
+    adjoint/VJP decomposition; tested against replay_grads_full).
+
+    fused=True additionally groups same-class chunks into one lax.scan per
+    class per pass (<= 2 log D dispatches per frame instead of 2 rows/chunk
+    — the round-4 fix for the per-chunk dispatch tax that made the sorted
+    replay LOSE at depth 8 despite winning at 65)."""
     rows = rec.prim.shape[0]
     assert rows % chunk == 0, (rows, chunk)
     D = rec.prim.shape[1]
@@ -492,12 +570,46 @@ def replay_grads_sorted(scene: Scene, params: dict, update_fn, target,
     end_u = jnp.uint32(n_rays)
     kw = dict(spp=spp, max_depth=max_depth, rr_depth=rr_depth,
               rfilter=rfilter)
-    for j in range(n_chunks):
-        oj = jax.lax.dynamic_slice_in_dim(order, j * chunk, chunk)
-        film = _replay_fwd_chunk(
-            scene, film, rec, oj, None, seed_u, end_u,
-            n_steps=cls[j], **kw,
-        )
+
+    if fused:
+        # group chunk indices by class; chunks are class-sorted already
+        # (rows sorted by descending length), so each group is contiguous.
+        # Each group's chunk count is padded up to a power of two with
+        # sentinel rows (index 2^32-1: clamped by the gather, act0-gated to
+        # zero by ray_end) so the compiled shapes are stable across frames
+        # whose length distribution shifts a little.
+        groups: list[tuple[int, list[int]]] = []
+        for j, c in enumerate(cls):
+            if groups and groups[-1][0] == c:
+                groups[-1][1].append(j)
+            else:
+                groups.append((c, [j]))
+        order2 = order.reshape(n_chunks, chunk)
+
+        def padded(js):
+            p = 1
+            while p < len(js):
+                p *= 2
+            o = order2[js[0]:js[-1] + 1]
+            if p > len(js):
+                o = jnp.concatenate(
+                    [o, jnp.full((p - len(js), chunk), 0xFFFFFFFF,
+                                 jnp.uint32)], axis=0,
+                )
+            return o
+
+        for c, js in groups:
+            film = _replay_fwd_class(
+                scene, film, rec, padded(js), seed_u, end_u,
+                n_steps=c, **kw,
+            )
+    else:
+        for j in range(n_chunks):
+            oj = jax.lax.dynamic_slice_in_dim(order, j * chunk, chunk)
+            film = _replay_fwd_chunk(
+                scene, film, rec, oj, None, seed_u, end_u,
+                n_steps=cls[j], **kw,
+            )
     img = filmlib.develop(film)
     wgt = film[..., 3:4]
     adj = jnp.where(
@@ -508,14 +620,42 @@ def replay_grads_sorted(scene: Scene, params: dict, update_fn, target,
     adj = jax.lax.stop_gradient(adj)
 
     acc = jax.tree_util.tree_map(jnp.zeros_like, params)
-    for j in range(n_chunks):
-        oj = jax.lax.dynamic_slice_in_dim(order, j * chunk, chunk)
-        g = _replay_adj_chunk(
-            scene, params, adj, rec, oj, seed_u, end_u,
-            update_fn=update_fn, n_steps=cls[j], **kw,
-        )
-        acc = jax.tree_util.tree_map(jnp.add, acc, g)
+    if fused:
+        for c, js in groups:
+            acc = _replay_adj_class(
+                scene, params, acc, adj, rec, padded(js),
+                seed_u, end_u, update_fn=update_fn, n_steps=c, **kw,
+            )
+    else:
+        for j in range(n_chunks):
+            oj = jax.lax.dynamic_slice_in_dim(order, j * chunk, chunk)
+            g = _replay_adj_chunk(
+                scene, params, adj, rec, oj, seed_u, end_u,
+                update_fn=update_fn, n_steps=cls[j], **kw,
+            )
+            acc = jax.tree_util.tree_map(jnp.add, acc, g)
     return acc
+
+
+def replay_grads(scene: Scene, params: dict, update_fn, target, seed,
+                 rec: PathRecord, n_rays: int, *, chunk: int, spp: int,
+                 max_depth: int, rr_depth: int, rfilter: str = "box",
+                 mode: str = "auto"):
+    """Production fwd+bwd replay dispatcher.
+
+    mode='auto' picks by workload depth: 'sorted' when max_depth >= 16
+    (deep specs like the reference bedroom's 65 — RR kills most paths at
+    5-8 bounces, so the uniform scan wastes most of its steps; chip probe:
+    sorted 113.6k vs full 64.4k rays/s at depth 65) and 'full' for shallow
+    scans where one uniform fused scan has nothing to skip (full 187.8k vs
+    per-chunk sorted 160.5k at depth 8; see BENCH.md round 4)."""
+    if mode == "auto":
+        mode = "sorted" if max_depth >= 16 else "full"
+    fn = replay_grads_sorted if mode == "sorted" else replay_grads_full
+    return fn(
+        scene, params, update_fn, target, seed, rec, n_rays, chunk=chunk,
+        spp=spp, max_depth=max_depth, rr_depth=rr_depth, rfilter=rfilter,
+    )
 
 
 def replay_radiance(scene: Scene, rec: PathRecord, seed, idx0, *, spp: int,

@@ -25,14 +25,7 @@ import jax.numpy as jnp
 
 from ..core import math as m
 from ..core.records import Ray, SurfaceInteraction
-from ..scene.bvh8 import (
-    FACE_OFF,
-    LEAF_CAP,
-    LEAF_ROW,
-    NODE_BASE,
-    STACK_DEPTH,
-    WIDTH,
-)
+from ..scene.bvh8 import DEFAULT_LAYOUT
 from ..scene.types import Scene
 DONE = jnp.int32(-1)  # shared with "empty child" code
 
@@ -58,15 +51,23 @@ def _tri_test9(o, d, g9, t_best):
     return t, u, v, hit
 
 
-@partial(jax.jit, static_argnames=("n_nodes", "any_hit"))
+@partial(jax.jit, static_argnames=("n_nodes", "any_hit", "layout"))
 def _traverse(unified, n_nodes: int, o, d, maxt, active,
-              any_hit: bool = False):
+              any_hit: bool = False, layout=None):
     """Returns (t, face, u, v) with face == -1 for misses.
 
     ONE unified-table row gather per iteration (BVH.unified: row < n_nodes
     internal, else leaf): the fetched row is decoded under both views, each
     masked by the lane's node kind — same scheme as the persistent stepper
-    (integrators/persistent.py), which this lockstep loop predates."""
+    (integrators/persistent.py), which this lockstep loop predates.
+
+    `layout` (static, scene/bvh8.BVHLayout) gives the packed-row offsets and
+    stack capacity; None = DEFAULT_LAYOUT (round-4 config consolidation: the
+    layout rides the built BVH, so non-default layouts are in-process
+    testable)."""
+    lay = layout if layout is not None else DEFAULT_LAYOUT
+    WIDTH, LEAF_CAP, STACK_DEPTH = lay.width, lay.leaf_cap, lay.stack
+    NODE_BASE, FACE_OFF, LEAF_ROW = lay.node_base, lay.face_off, lay.leaf_row
     n = o.shape[0]
     inv_d = m.safe_div(jnp.ones((), m.Float), d, fill=jnp.inf)
 
@@ -218,8 +219,12 @@ def _traverse(unified, n_nodes: int, o, d, maxt, active,
 BRUTE_FORCE_MAX_SLOTS = 64
 
 
+def _layout(scene):
+    return scene.bvh.layout or DEFAULT_LAYOUT
+
+
 def _n_tri_slots(scene):
-    return scene.bvh.leaf_tris.shape[0] * LEAF_CAP
+    return scene.bvh.leaf_tris.shape[0] * _layout(scene).leaf_cap
 
 
 def ray_intersect(scene: Scene, ray: Ray, active=None) -> SurfaceInteraction:
@@ -232,7 +237,7 @@ def ray_intersect(scene: Scene, ray: Ray, active=None) -> SurfaceInteraction:
     b = scene.bvh
     t, face, u, v = _traverse(
         b.unified, b.nodes.shape[0],
-        ray.o, ray.d, ray.maxt, active, False,
+        ray.o, ray.d, ray.maxt, active, False, layout=b.layout,
     )
     return _make_si(scene, ray, t, face, u, v)
 
@@ -248,7 +253,7 @@ def ray_test(scene: Scene, ray: Ray, active=None):
     b = scene.bvh
     t, face, _, _ = _traverse(
         b.unified, b.nodes.shape[0],
-        ray.o, ray.d, ray.maxt, active, True,
+        ray.o, ray.d, ray.maxt, active, True, layout=b.layout,
     )
     return face >= 0
 
@@ -259,8 +264,9 @@ def ray_intersect_brute(scene: Scene, ray: Ray, active=None) -> SurfaceInteracti
     if active is None:
         active = jnp.ones((n,), bool)
     b = scene.bvh
+    cap = _layout(scene).leaf_cap
     L = b.leaf_tris.shape[0]
-    tris = b.leaf_tris[:, : 9 * LEAF_CAP].reshape(L * LEAF_CAP, 3, 3)
+    tris = b.leaf_tris[:, : 9 * cap].reshape(L * cap, 3, 3)
     faces_flat = b.leaf_face.reshape(-1)  # kept alongside the fused rows
     maxt = jnp.where(active, ray.maxt, 0.0)
 

@@ -157,7 +157,10 @@ def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
     per = (n_total + ndev - 1) // ndev
     n_lanes = min(n_lanes, per)
 
-    st = PersistentState.empty(n_lanes * ndev)
+    st = PersistentState.empty(
+        n_lanes * ndev,
+        stack_depth=None if scene.bvh.layout is None
+        else scene.bvh.layout.stack)
     rayLs = jnp.zeros((ndev, per + 1, 3), m.Float)
     offsets = jnp.arange(ndev, dtype=jnp.uint32) * jnp.uint32(per)
     cursors = offsets
@@ -301,7 +304,9 @@ def sharded_replay_grad(scene, params, target, seed, mesh: Mesh, *,
         in_specs=(P(), P("dp"), P("dp"), P("dp"), P()),
         out_specs=P("dp"), check_vma=False,
     ))
-    st = arm(scene, PersistentState.empty(n), starts, ends, seed_u)
+    st = arm(scene, PersistentState.empty(
+        n, stack_depth=None if scene.bvh.layout is None
+        else scene.bvh.layout.stack), starts, ends, seed_u)
 
     def dev_record(scene, st, rec, sh_depth, seed, unified):
         return rp._run_record(

@@ -333,9 +333,11 @@ def _build_camera(d) -> Camera:
     )
 
 
-def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
+def load_dict(scene_dict: dict, bvh_layout=None) -> tuple[Scene, dict]:
     """Compile a scene dict; returns (Scene, meta) where meta carries
-    integrator/film/sampler settings (spp, rfilter, max_depth defaults)."""
+    integrator/film/sampler settings (spp, rfilter, max_depth defaults).
+    `bvh_layout` (scene/bvh8.BVHLayout) overrides the BVH build/layout
+    knobs for this scene; None = bvh8.DEFAULT_LAYOUT."""
     import jax.numpy as jnp
 
     mb = _MaterialBuilder()
@@ -496,7 +498,7 @@ def load_dict(scene_dict: dict) -> tuple[Scene, dict]:
                             em_pmf_f, em_area_f)
         ),
     )
-    bvh = build_bvh(V, F)
+    bvh = build_bvh(V, F, layout=bvh_layout)
     scene = Scene(
         geometry=geometry,
         materials=materials,

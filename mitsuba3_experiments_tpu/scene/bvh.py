@@ -29,26 +29,29 @@ def _aabb_area(lo, hi):
 
 
 def build_bvh(
-    vertices: np.ndarray, faces: np.ndarray, leaf_size: int | None = None
+    vertices: np.ndarray, faces: np.ndarray, leaf_size: int | None = None,
+    layout=None,
 ) -> BVH:
     """Build the packed 8-wide BVH (types.BVH).
 
     Pipeline: binary binned SAH (native C++ builder when available, numpy
     reference otherwise) -> 8-wide collapse + row packing (scene/bvh8.py).
-    leaf_size defaults to (and must match) bvh8.LEAF_CAP — the packed leaf
-    row layout derives from it.
+    `layout` (bvh8.BVHLayout) selects width/leaf_cap/collapse/SBVH; None =
+    bvh8.DEFAULT_LAYOUT (env-overridable).  leaf_size defaults to (and must
+    not exceed) layout.leaf_cap — the packed leaf row layout derives from it.
     """
     import jax.numpy as jnp
 
-    from .bvh8 import LEAF_CAP, SBVH, SBVH_ALPHA, collapse_to_wide
+    from .bvh8 import DEFAULT_LAYOUT, collapse_to_wide
     from .native import try_build_bvh_native, try_build_sbvh_native
 
+    lay = layout if layout is not None else DEFAULT_LAYOUT
     if leaf_size is None:
-        leaf_size = LEAF_CAP
-    assert leaf_size <= LEAF_CAP, (leaf_size, LEAF_CAP)
+        leaf_size = lay.leaf_cap
+    assert leaf_size <= lay.leaf_cap, (leaf_size, lay.leaf_cap)
 
     native = None
-    if SBVH:
+    if lay.sbvh:
         # spatial-split build (native/sbvh_builder.cpp): straddling
         # triangles are duplicated with clipped boxes, cutting node overlap
         # -> fewer rows/ray in the gather-bound stepper (flagship chip A/B:
@@ -56,7 +59,7 @@ def build_bvh(
         # Falls back to the object-split builders when the native lib is
         # unavailable.
         native = try_build_sbvh_native(
-            vertices, faces, leaf_size, alpha=SBVH_ALPHA
+            vertices, faces, leaf_size, alpha=lay.sbvh_alpha
         )
     if native is None:
         native = try_build_bvh_native(vertices, faces, leaf_size)
@@ -72,7 +75,7 @@ def build_bvh(
     tv_flat = v[f[order]].reshape(len(order), 9).astype(np.float32)
     nodes, leaf_tris, leaf_face = collapse_to_wide(
         lo, hi, left, right, first, count, order, tv_flat,
-        order.astype(np.int32),
+        order.astype(np.int32), layout=lay,
     )
     # unified row width = max of node/leaf rows (node rows outgrow leaf
     # rows at WIDTH=16+cap 8); both pad at the END so decode offsets hold
@@ -86,6 +89,7 @@ def build_bvh(
         leaf_tris=jnp.asarray(leaf_tris),
         leaf_face=jnp.asarray(leaf_face),
         unified=jnp.asarray(np.concatenate([nodes_pad, leafs_pad], axis=0)),
+        layout=lay,
     )
 
 

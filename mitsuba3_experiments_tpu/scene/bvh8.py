@@ -28,65 +28,132 @@ Override with env M3T_LEAF_CAP for A/B runs; layout derives from it.
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 
 import numpy as np
 
 from .types import BVH
 
-WIDTH = int(os.environ.get("M3T_BVH_WIDTH", "8"))
-LEAF_CAP = int(os.environ.get("M3T_LEAF_CAP", "8"))
-# face ids live past the vertex block, 8-aligned with >=1 float of pad
-# (exactly the historical 72->80 offset at LEAF_CAP=8)
-VERT_FLOATS = 9 * LEAF_CAP
-FACE_OFF = (VERT_FLOATS // 8 + 1) * 8
-LEAF_ROW = FACE_OFF + LEAF_CAP
-# node row: WIDTH child codes (8-aligned block) then WIDTH x 6 bounds
-# (historical 8 + 48 = 64-float row at WIDTH=8)
-NODE_BASE = ((WIDTH + 7) // 8) * 8
-NODE_ROW = ((NODE_BASE + 6 * WIDTH + 7) // 8) * 8
 EMPTY = -1
-# Collapse expansion strategy: which binary child to flatten next while
-# widening a node to WIDTH subtrees.  "area" expands the child with the
-# LARGEST surface area (SA-greedy, Ylitie et al. 2017 style) and measures
-# -8% rows/ray on the flagship (scripts/collapse_ab.py: 18.39 -> 16.92) —
-# but the SA-greedy tree is DEEPER (worst-case stack need 91 vs 64), and
-# the chip A/B shows the extra 16 shift-register stack columns cost more
-# than the row savings: first@80 300,999 rays/s, area@96 290,561,
-# first@96 282,462 (the stack alone is -6.2%).  "first" stays the default;
-# "area" is kept for shallow scenes / future cheaper-stack designs.
-COLLAPSE = os.environ.get("M3T_COLLAPSE", "first")
-# Spatial-split (SBVH) binary build before the collapse — see
-# native/sbvh_builder.cpp and scene/native.py::try_build_sbvh_native.
-# Chip A/B (flagship fwd, 65536/24): sbvh+first 312,313 rays/s vs plain
-# first 300,999 (+3.8%) with identical images; host probe: 18.39 -> 16.9
-# rows/ray (-8.1%) at +3.5% duplicated references.  Default ON.
-SBVH = os.environ.get("M3T_SBVH", "1") == "1"
-SBVH_ALPHA = float(os.environ.get("M3T_SBVH_ALPHA", "1e-4"))
-# Traversal stack capacity (intersect/bvh_jax.py uses the same constant).
-# collapse_to_wide raises at build time if the EXACT worst-case stack need
-# — max over root-to-leaf paths of sum(children-1) — exceeds this (ADVICE
-# round 1: silent overflow would drop subtrees -> missed hits).  The 2M-tri
-# flagship needs 64 slots under "first" and 91 under "area" (the SA-greedy
-# tree is deeper but visits fewer rows); the shift-register stack's cost is
-# elementwise VPU traffic that measures as hidden under the row-gather
-# latency (BENCH.md round 3: stepper marginal == pure gather probe cost).
-STACK_DEPTH = int(os.environ.get(
-    "M3T_STACK_DEPTH",
-    ("96" if COLLAPSE == "area" else "80") if WIDTH == 8
-    else str(8 * (WIDTH - 1)),
-))
+
+
+@dataclasses.dataclass(frozen=True)
+class BVHLayout:
+    """All BVH build/layout knobs as one hashable value (round-4 config
+    consolidation: formerly module-import-time M3T_* globals, untestable
+    in-process).  The layout is stamped onto the built BVH as static pytree
+    aux data (types.BVH.layout), so jitted traversal specializes per layout
+    and A/Bs run in one process.
+
+    Field notes (measurements in BENCH.md):
+      width      node fan-out; 8 is the measured optimum (round-2 A/B).
+      leaf_cap   triangles per packed leaf row; 8 optimum (round-2 A/B).
+      collapse   binary->wide expansion order.  "area" (SA-greedy, Ylitie
+                 et al. 2017 style) cuts rows/ray 8% but deepens the tree
+                 (stack need 91 vs 64) and measured NET NEGATIVE on chip
+                 (round 3: the 16 extra shift-register columns cost -6.2%);
+                 "first" is the default.
+      sbvh       spatial-split binary build (native/sbvh_builder.cpp,
+                 Stich et al. 2009): +3.8% rays/s on the flagship chip A/B
+                 at +3.5% duplicated references.  Default ON.
+      sbvh_alpha child-overlap threshold (fraction of root area) above
+                 which a spatial split is attempted.
+      stack_depth traversal stack capacity; None = auto (80 for the
+                 default 8-wide "first" tree, 96 for "area", else
+                 8*(width-1)).  collapse_to_wide raises at build time if
+                 the EXACT worst-case need — max over root-to-leaf paths
+                 of sum(children-1) — exceeds it (silent overflow would
+                 drop subtrees -> missed hits).
+    """
+
+    width: int = 8
+    leaf_cap: int = 8
+    collapse: str = "first"
+    sbvh: bool = True
+    sbvh_alpha: float = 1e-4
+    stack_depth: int | None = None
+
+    # ---- derived row offsets (the packed layouts documented up top) ----
+    @property
+    def vert_floats(self) -> int:
+        return 9 * self.leaf_cap
+
+    @property
+    def face_off(self) -> int:
+        # face ids live past the vertex block, 8-aligned with >=1 float of
+        # pad (exactly the historical 72->80 offset at leaf_cap=8)
+        return (self.vert_floats // 8 + 1) * 8
+
+    @property
+    def leaf_row(self) -> int:
+        return self.face_off + self.leaf_cap
+
+    @property
+    def node_base(self) -> int:
+        # node row: width child codes (8-aligned block) then width x 6
+        # bounds (historical 8 + 48 = 64-float row at width=8)
+        return ((self.width + 7) // 8) * 8
+
+    @property
+    def node_row(self) -> int:
+        return ((self.node_base + 6 * self.width + 7) // 8) * 8
+
+    @property
+    def stack(self) -> int:
+        if self.stack_depth is not None:
+            return self.stack_depth
+        if self.width == 8:
+            return 96 if self.collapse == "area" else 80
+        return 8 * (self.width - 1)
+
+    @staticmethod
+    def from_env() -> "BVHLayout":
+        """Thin env-override shim (M3T_*) over the defaults — kept so chip
+        A/B scripts can flip layouts without code edits."""
+        sd = os.environ.get("M3T_STACK_DEPTH")
+        return BVHLayout(
+            width=int(os.environ.get("M3T_BVH_WIDTH", "8")),
+            leaf_cap=int(os.environ.get("M3T_LEAF_CAP", "8")),
+            collapse=os.environ.get("M3T_COLLAPSE", "first"),
+            sbvh=os.environ.get("M3T_SBVH", "1") == "1",
+            sbvh_alpha=float(os.environ.get("M3T_SBVH_ALPHA", "1e-4")),
+            stack_depth=int(sd) if sd is not None else None,
+        )
+
+
+DEFAULT_LAYOUT = BVHLayout.from_env()
+
+# legacy module-level aliases (scripts + bvh_pallas still read these);
+# library code should take a BVHLayout / read bvh.layout instead
+WIDTH = DEFAULT_LAYOUT.width
+LEAF_CAP = DEFAULT_LAYOUT.leaf_cap
+VERT_FLOATS = DEFAULT_LAYOUT.vert_floats
+FACE_OFF = DEFAULT_LAYOUT.face_off
+LEAF_ROW = DEFAULT_LAYOUT.leaf_row
+NODE_BASE = DEFAULT_LAYOUT.node_base
+NODE_ROW = DEFAULT_LAYOUT.node_row
+COLLAPSE = DEFAULT_LAYOUT.collapse
+SBVH = DEFAULT_LAYOUT.sbvh
+SBVH_ALPHA = DEFAULT_LAYOUT.sbvh_alpha
+STACK_DEPTH = DEFAULT_LAYOUT.stack
 
 
 def collapse_to_wide(lo, hi, left, right, first, count, prim_order,
-                     tri_verts_flat, faces_global):
+                     tri_verts_flat, faces_global,
+                     layout: BVHLayout | None = None):
     """Binary SAH arrays -> packed wide tables (host, numpy + python loop).
 
     tri_verts_flat: (F, 9) f32 triangle vertices in prim_order slot order.
     faces_global:   (F,) i32 global face id per slot.
     """
+    lay = layout if layout is not None else DEFAULT_LAYOUT
+    WIDTH, LEAF_CAP = lay.width, lay.leaf_cap
+    NODE_BASE, NODE_ROW = lay.node_base, lay.node_row
+    FACE_OFF, LEAF_ROW = lay.face_off, lay.leaf_row
+    STACK_DEPTH = lay.stack
     n_bin = left.shape[0]
-    if COLLAPSE == "area":
+    if lay.collapse == "area":
         dx = np.maximum(hi[:, 0] - lo[:, 0], 0.0)
         dy = np.maximum(hi[:, 1] - lo[:, 1], 0.0)
         dz = np.maximum(hi[:, 2] - lo[:, 2], 0.0)

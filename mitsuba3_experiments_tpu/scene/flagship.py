@@ -193,14 +193,31 @@ def load_flagship(res=(1280, 720), spp: int = 64, tri_budget: int = 2_000_000,
         if os.path.exists(path):
             try:
                 with open(path, "rb") as f:
+                    import dataclasses
+
                     import jax
 
                     host = pickle.load(f)
+                    hs = host["scene"]
+                    # pre-round-4 pickles lack BVH.layout (pickle restores
+                    # __dict__ directly); stamp the layout the key encodes
+                    # (== the current env default) instead of rebuilding
+                    # the multi-minute SAH tree
+                    if getattr(hs.bvh, "layout", None) is None:
+                        from .bvh8 import DEFAULT_LAYOUT
+                        from .types import BVH
+
+                        vals = {
+                            f.name: getattr(hs.bvh, f.name, None)
+                            for f in dataclasses.fields(BVH)
+                        }
+                        vals["layout"] = DEFAULT_LAYOUT
+                        hs = dataclasses.replace(hs, bvh=BVH(**vals))
                     scene = jax.tree_util.tree_map(
                         lambda x: jax.numpy.asarray(x)
                         if isinstance(x, np.ndarray)
                         else x,
-                        host["scene"],
+                        hs,
                     )
                     return scene, host["meta"]
             except Exception:

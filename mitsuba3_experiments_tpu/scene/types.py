@@ -169,6 +169,12 @@ class BVH:
     leaf_tris: jnp.ndarray  # (L, 88) f32
     leaf_face: jnp.ndarray  # (L, 8) i32
     unified: jnp.ndarray    # (NN8+L, 88) f32
+    # build-time layout (bvh8.BVHLayout), stamped by build_bvh as static
+    # pytree aux data: jitted traversal reads row offsets / stack depth from
+    # here, so non-default layouts are in-process testable (round-4 config
+    # consolidation).  None only on hand-built BVHs -> consumers fall back
+    # to bvh8.DEFAULT_LAYOUT.
+    layout: object = static_field(default=None)
 
 
 @jstruct
