@@ -182,7 +182,7 @@ def unify_tables(bvh):
 def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
                 occl=None, sh_depth=None,
                 layout: BVHLayout | None = None,
-                idle_spread: bool = True):
+                idle_spread: bool = True, census=None):
     """Advance every in-flight traversal by at most k iterations.
 
     One fused stepper serves both phases: P_SHADOW lanes early-exit on any
@@ -218,7 +218,12 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
     (state, occl).
 
     `layout` (static) gives the packed-row offsets; None = DEFAULT_LAYOUT.
-    Stack capacity is read from st.tr_stack.shape."""
+    Stack capacity is read from st.tr_stack.shape.
+
+    `census` (optional (2,) int64, exclusive with occl) accumulates
+    [live-lane row gathers, total row gathers] per iteration — the
+    roofline probe's active-row counter (scripts/roofline_probe.py);
+    returns (state, census).  None (the default) compiles it out."""
     lay = layout if layout is not None else DEFAULT_LAYOUT
     WIDTH, LEAF_CAP = lay.width, lay.leaf_cap
     NODE_BASE, FACE_OFF, LEAF_ROW = lay.node_base, lay.face_off, lay.leaf_row
@@ -230,6 +235,8 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
     cont_p, nee_L = st.cont, st.nee_L
     next_o, next_d = st.next_o, st.next_d
     record = occl is not None
+    count = census is not None
+    assert not (record and count)
     if record:
         colD = jnp.arange(occl.shape[1], dtype=jnp.int32)[None, :]
 
@@ -240,10 +247,15 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
         if record:
             (cur, sp, stack, t_best, face_best, u_best, v_best,
              o, d, phase, L, occl) = carry
+            census = None
+        elif count:
+            (cur, sp, stack, t_best, face_best, u_best, v_best,
+             o, d, phase, L, census) = carry
+            occl = None
         else:
             (cur, sp, stack, t_best, face_best, u_best, v_best,
              o, d, phase, L) = carry
-            occl = None
+            occl = census = None
 
         # ----- inline shadow resolve (elementwise; see docstring) -----
         finB = alive & (phase == P_SHADOW) & (cur == DONE)
@@ -272,6 +284,13 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
         live = cur != DONE
         is_int = cur >= 0
         is_leaf = cur <= -2
+        if count:
+            # int32: one launch's worth (lanes x steps x rounds ~ 42M at
+            # the flagship operating point) fits comfortably; the probe
+            # accumulates across launches in host integers
+            census = census + jnp.stack(
+                [jnp.sum(live.astype(jnp.int32)), jnp.int32(n)]
+            )
 
         row_idx = jnp.where(
             is_int, cur,
@@ -384,19 +403,25 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
         stack = jnp.concatenate([head, res[:, WIDTH:]], axis=1)
         out = (nxt, sp_new, stack, t_best, face_best, u_best,
                v_best, o, d, phase, L)
-        return out + (occl,) if record else out
+        if record:
+            return out + (occl,)
+        if count:
+            return out + (census,)
+        return out
 
     init = (st.tr_cur, st.tr_sp, st.tr_stack, st.tr_t,
             st.tr_face, st.tr_u, st.tr_v, st.tr_o, st.tr_d, st.phase, st.L)
     if record:
         init = init + (occl,)
+    elif count:
+        init = init + (census,)
     fin = jax.lax.fori_loop(0, k, body, init)
     (cur, sp, stack, t, face, u, v, o, d, phase, L) = fin[:11]
     st = dataclasses.replace(st,
         tr_cur=cur, tr_sp=sp, tr_stack=stack, tr_t=t,
         tr_face=face, tr_u=u, tr_v=v, tr_o=o, tr_d=d, phase=phase, L=L,
     )
-    return (st, fin[11]) if record else st
+    return (st, fin[11]) if (record or count) else st
 
 
 def _retire(scene: Scene, st: PersistentState, rayL, *, deferred_pad):

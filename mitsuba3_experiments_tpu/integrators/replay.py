@@ -176,7 +176,7 @@ def record_chunk(scene: Scene, seed, idx0: int, n: int, *, spp: int,
 )
 def _run_record_full(scene: Scene, st: pp.PersistentState, loc: PathRecord,
                      glob: PathRecord, sh_depth, next_ray, seed, ray_end,
-                     unified, *, n_nodes: int, max_depth: int,
+                     unified, idx0=0, *, n_nodes: int, max_depth: int,
                      rr_depth: int, steps: int, n_rounds: int, spp: int):
     """Full-frame recorder rounds: the persistent machine WITH refill.
 
@@ -187,7 +187,9 @@ def _run_record_full(scene: Scene, st: pp.PersistentState, loc: PathRecord,
     frame-sized PACKED record (one (N, D, 4) f32 scatter per round) at its
     camera-ray index, so the lane immediately refills with a fresh ray.
     Recording then proceeds at the forward renderer's full rate.
-    `glob` is the packed (rows+1, D, 4) array; record_full unpacks it."""
+    `glob` is the packed (rows+1, D, 4) array; record_full unpacks it.
+    `idx0` is the camera-ray index of glob row 0 (device slice offset when
+    sharded — parallel/mesh.sharded_replay_grad)."""
     import dataclasses
 
     colD = jnp.arange(loc.prim.shape[1], dtype=jnp.int32)[None, :]
@@ -213,7 +215,7 @@ def _run_record_full(scene: Scene, st: pp.PersistentState, loc: PathRecord,
         # corrupting prim ids.  tests/test_replay.py::
         # test_record_full_matches_record_chunk guards this bit-exactly.
         flush = was_alive & ~st.alive
-        dst = jnp.where(flush, st.idx, jnp.uint32(n_pad))
+        dst = jnp.where(flush, st.idx - jnp.uint32(idx0), jnp.uint32(n_pad))
         packed = jnp.stack(
             [
                 jax.lax.bitcast_convert_type(loc.prim, jnp.float32),

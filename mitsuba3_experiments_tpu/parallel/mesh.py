@@ -266,102 +266,172 @@ def sharded_replay_grad(scene, params, target, seed, mesh: Mesh, *,
                         idx0: int = 0, n_lanes: int = 32768, spp: int,
                         max_depth: int, rr_depth: int = 4,
                         rfilter: str = "box", steps: int = 16,
-                        rounds_per_launch: int = 8, ray_end=None):
-    """Multi-chip fwd+bwd on the production path: per device, RECORD a
-    contiguous ray range with the persistent state machine (no AD), then
-    grad-of-REPLAY with the partial films psum'd inside the loss —
-    traversal never enters the AD graph (integrators/replay.py), and the
-    parameter grads come out replicated/all-reduced exactly as
-    sharded_grad_step's.  Returns (loss, grads)."""
+                        rounds_per_launch: int = 8, ray_end=None,
+                        chunk: int | None = None):
+    """Multi-chip fwd+bwd on the production path (VERDICT r3 #4): each
+    device owns a contiguous slice of the ray stream and RECORDS it with
+    the refill+flush persistent recorder (integrators/replay.py::
+    _run_record_full — lanes < rays, a retiring lane flushes its packed
+    rows and immediately refills, exactly the single-chip record_full that
+    replaced the straggler-bound per-chunk recorder), then differentiates
+    the traversal-free REPLAY:
+
+      1. forward replay per device (chunked lax.scan) -> partial film;
+         ONE psum -> the full frame, from which the film ADJOINT
+         dLoss/dS is computed (replicated) — same decomposition as
+         replay_grads_sorted, exact for any ray->device/chunk partition.
+      2. adjoint replay per device: grad of <adj, S_dev> accumulated over
+         its chunks; a plain psum (adjoint contributions are linear —
+         no transpose inflation to undo) = the full-frame gradient.
+
+    Returns (loss, grads), both replicated.  `ray_end` bounds the global
+    ray range [idx0, ray_end); default records n_lanes*ndev rays (one
+    lane per ray, back-compat with the round-2 signature).  `chunk` is
+    the per-device replay chunk (default: the whole device slice)."""
     from ..integrators import replay as rp
-    from ..integrators.persistent import (
-        PersistentState,
-        _refill_persistent,
-        unify_tables,
-    )
+    from ..integrators.persistent import PersistentState, unify_tables
 
     w, h = scene.camera.resolution
     ndev = mesh.shape["dp"]
-    n = n_lanes * ndev
     if ray_end is None:
-        ray_end = idx0 + n
+        ray_end = idx0 + n_lanes * ndev
+    n = ray_end - idx0
+    per = (n + ndev - 1) // ndev          # rays per device
+    lanes = min(n_lanes, per)             # lanes per device
+    if chunk is None or chunk > per:
+        chunk = per
+    rows = ((per + chunk - 1) // chunk) * chunk   # padded device rows
+    D = max_depth
     seed_u = jnp.uint32(seed)
     unified, n_nodes = unify_tables(scene.bvh)
 
     starts = jnp.uint32(idx0) + jnp.arange(ndev, dtype=jnp.uint32) \
-        * jnp.uint32(n_lanes)
-    ends = jnp.minimum(starts + jnp.uint32(n_lanes), jnp.uint32(ray_end))
+        * jnp.uint32(per)
+    ends = jnp.minimum(starts + jnp.uint32(per), jnp.uint32(ray_end))
 
-    # ---------------------------- record ----------------------------
-    def dev_arm(scene, st, start, end, seed):
-        st, _ = _refill_persistent(
-            scene, st, start[0], seed, spp=spp, ray_end=end[0]
+    # ------------------- record (refill + packed flush) -------------------
+    def dev_record(scene, st, loc, glob, sh_depth, next_ray, start, end,
+                   seed, unified):
+        st, loc, g, sh_depth, nr = rp._run_record_full(
+            scene, st, loc, glob[0], sh_depth, next_ray[0], seed, end[0],
+            unified, start[0], n_nodes=n_nodes, max_depth=max_depth,
+            rr_depth=rr_depth, steps=steps, n_rounds=rounds_per_launch,
+            spp=spp,
         )
-        return st
-
-    arm = jax.jit(jax.shard_map(
-        dev_arm, mesh=mesh,
-        in_specs=(P(), P("dp"), P("dp"), P("dp"), P()),
-        out_specs=P("dp"), check_vma=False,
-    ))
-    st = arm(scene, PersistentState.empty(
-        n, stack_depth=None if scene.bvh.layout is None
-        else scene.bvh.layout.stack), starts, ends, seed_u)
-
-    def dev_record(scene, st, rec, sh_depth, seed, unified):
-        return rp._run_record(
-            scene, st, rec, sh_depth, seed, unified, n_nodes=n_nodes,
-            max_depth=max_depth, rr_depth=rr_depth, steps=steps,
-            n_rounds=rounds_per_launch,
-        )
+        return st, loc, g[None], sh_depth, nr[None]
 
     rec_fn = jax.jit(
         jax.shard_map(
             dev_record, mesh=mesh,
-            in_specs=(P(), P("dp"), P("dp"), P("dp"), P(), P()),
-            out_specs=(P("dp"), P("dp"), P("dp")),
+            in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                      P("dp"), P("dp"), P(), P()),
+            out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
             check_vma=False,
         ),
-        donate_argnums=(1, 2, 3),
+        donate_argnums=(1, 2, 3, 4, 5),
     )
-    rec = rp.PathRecord.empty(n, max_depth)
-    sh_depth = jnp.ones((n,), jnp.int32)
+    st = PersistentState.empty(
+        lanes * ndev, stack_depth=None if scene.bvh.layout is None
+        else scene.bvh.layout.stack)
+    loc = rp.PathRecord.empty(lanes * ndev, D)
+    miss_row = jnp.array(
+        [jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32),
+         0.0, 0.0, 0.0], jnp.float32,
+    )
+    glob = jnp.tile(miss_row, (ndev, rows + 1, D, 1))
+    sh_depth = jnp.ones((lanes * ndev,), jnp.int32)
+    cursors = starts
     while True:
-        st, rec, sh_depth = rec_fn(scene, st, rec, sh_depth, seed_u, unified)
-        if int(jnp.sum(st.alive.astype(jnp.int32))) == 0:
+        st, loc, glob, sh_depth, cursors = rec_fn(
+            scene, st, loc, glob, sh_depth, cursors, starts, ends,
+            seed_u, unified,
+        )
+        n_alive = int(jnp.sum(st.alive.astype(jnp.int32)))
+        if n_alive == 0 and bool(jnp.all(cursors >= ends)):
             break
+    glob = glob[:, :rows]  # drop the dummy flush row
+    rec = rp.PathRecord(
+        prim=jax.lax.bitcast_convert_type(glob[..., 0], jnp.int32),
+        u=glob[..., 1], v=glob[..., 2], occl=glob[..., 3] != 0.0,
+    )  # (ndev, rows, D) fields, device-sharded on axis 0 below
 
-    # ------------------------- replay + grad -------------------------
-    def dev_grad(scene, params, target, rec, start, end):
-        def loss_fn(p):
-            s = scene_update(scene, p)
+    n_chunks = rows // chunk
+    kwr = dict(spp=spp, max_depth=max_depth, rr_depth=rr_depth)
+
+    # --------------- forward replay -> full film (one psum) ---------------
+    def dev_fwd(scene, rec, start, end, seed):
+        sl0 = jax.tree_util.tree_map(lambda a: a[0], rec)
+        idx = start[0] + jnp.arange(rows, dtype=jnp.uint32)
+
+        def one(film, xs):
+            sl, ij = xs
             L, pos, act0 = rp.replay_radiance(
-                s, rec, seed_u, start[0], spp=spp, max_depth=max_depth,
-                rr_depth=rr_depth, ray_end=end[0],
+                scene, sl, seed, 0, ray_end=end[0], idx=ij, **kwr,
             )
-            film = filmlib.new_film(w, h)
-            film = filmlib.put(
+            return filmlib.put(
                 film, pos, jnp.where(jnp.isfinite(L), L, 0.0),
                 active=act0, rfilter=rfilter,
-            )
-            film = jax.lax.psum(film, "dp")
-            img = filmlib.develop(film)
-            msk = (film[..., 3] > 0.0)[..., None]
-            return jnp.sum(jnp.where(msk, (img - target) ** 2, 0.0))
+            ), None
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        # psum-transpose inflation: see sharded_grad_step — psum/ndev is
-        # the exact full gradient
-        ndev = jax.lax.psum(1, "dp")
-        grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, "dp") / ndev, grads
+        rec3 = jax.tree_util.tree_map(
+            lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), sl0
         )
-        return loss, grads
+        film, _ = jax.lax.scan(
+            one, filmlib.new_film(w, h), (rec3, idx.reshape(n_chunks, chunk))
+        )
+        return jax.lax.psum(film, "dp")
 
-    grad_fn = jax.jit(jax.shard_map(
-        dev_grad, mesh=mesh,
-        in_specs=(P(), P(), P(), P("dp"), P("dp"), P("dp")),
-        out_specs=(P(), P()),
-        check_vma=False,
+    fwd_fn = jax.jit(jax.shard_map(
+        dev_fwd, mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P("dp"), P()),
+        out_specs=P(), check_vma=False,
     ))
-    return grad_fn(scene, params, target, rec, starts, ends)
+    film = fwd_fn(scene, rec, starts, ends, seed_u)
+    img = filmlib.develop(film)
+    wgt = film[..., 3:4]
+    msk = wgt > 0.0
+    loss = jnp.sum(jnp.where(msk, (img - target) ** 2, 0.0))
+    adj = jnp.where(msk, 2.0 * (img - target) / jnp.where(msk, wgt, 1.0),
+                    0.0)
+    adj = jax.lax.stop_gradient(adj)
+
+    # ----------------- adjoint replay -> all-reduced grads ----------------
+    def dev_adj(scene, params, adj, rec, start, end, seed):
+        sl0 = jax.tree_util.tree_map(lambda a: a[0], rec)
+        idx = start[0] + jnp.arange(rows, dtype=jnp.uint32)
+        rec3 = jax.tree_util.tree_map(
+            lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), sl0
+        )
+
+        def one(acc, xs):
+            sl, ij = xs
+
+            def scalar(p):
+                s = scene_update(scene, p)
+                L, pos, act0 = rp.replay_radiance(
+                    s, sl, seed, 0, ray_end=end[0], idx=ij, **kwr,
+                )
+                f = filmlib.put(
+                    filmlib.new_film(w, h), pos,
+                    jnp.where(jnp.isfinite(L), L, 0.0), active=act0,
+                    rfilter=rfilter,
+                )
+                return jnp.sum(adj * f[..., :3])
+
+            g = jax.grad(scalar)(params)
+            return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+        acc0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+        acc, _ = jax.lax.scan(one, acc0, (rec3, idx.reshape(n_chunks, chunk)))
+        # adjoint contributions are linear in the per-device splats: a
+        # plain psum IS the full-frame gradient (no transpose inflation —
+        # there is no psum inside `scalar`)
+        return jax.tree_util.tree_map(lambda g: jax.lax.psum(g, "dp"), acc)
+
+    adj_fn = jax.jit(jax.shard_map(
+        dev_adj, mesh=mesh,
+        in_specs=(P(), P(), P(), P("dp"), P("dp"), P("dp"), P()),
+        out_specs=P(), check_vma=False,
+    ))
+    grads = adj_fn(scene, params, adj, rec, starts, ends, seed_u)
+    return loss, grads

@@ -139,3 +139,18 @@ def test_sharded_replay_grad_matches_single_device(box):
         assert np.abs(a).max() > 0
         np.testing.assert_allclose(b, a, rtol=2e-3,
                                    atol=2e-4 * max(1e-9, np.abs(a).max()))
+
+    # production shape (VERDICT r3 #4): fewer lanes than rays per device —
+    # the refill+flush recorder (_run_record_full) — plus chunked replay;
+    # gradients must be unchanged
+    half = max(per // 2, 16)
+    loss2, g8b = sharded_replay_grad(
+        box, params, target, 4, mesh, idx0=0, n_lanes=half, spp=spp,
+        max_depth=depth, rr_depth=2, rfilter="box", steps=8,
+        rounds_per_launch=4, ray_end=n, chunk=half,
+    )
+    np.testing.assert_allclose(float(loss2), float(loss), rtol=1e-4)
+    for k in params:
+        a, b = np.asarray(g1[k]), np.asarray(g8b[k])
+        np.testing.assert_allclose(b, a, rtol=2e-3,
+                                   atol=2e-4 * max(1e-9, np.abs(a).max()))
