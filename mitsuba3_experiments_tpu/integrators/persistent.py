@@ -179,6 +179,141 @@ def unify_tables(bvh):
     return bvh.unified, bvh.nodes.shape[0]
 
 
+def _engine_step(unified, n_nodes: int, lay: BVHLayout, idle_spread: bool,
+                 o, d, any_hit, cur, sp, stack, t_best, face_best,
+                 u_best, v_best):
+    """ONE traversal iteration of the shared engine: one unified-row
+    gather, 8-box slab tests + LEAF_CAP unrolled triangle tests under both
+    views, ordered shift-register push/pop.  Pure function of the engine
+    registers — shared verbatim by the single-path stepper (_trav_steps)
+    and the two-path pipelined stepper (integrators/pipelined.py).
+    `any_hit` marks occlusion queries (early exit on any leaf hit)."""
+    WIDTH, LEAF_CAP = lay.width, lay.leaf_cap
+    NODE_BASE, FACE_OFF, LEAF_ROW = lay.node_base, lay.face_off, lay.leaf_row
+    STACK_DEPTH = stack.shape[1]
+    n = cur.shape[0]
+    ki = jnp.arange(WIDTH, dtype=jnp.int32)
+    col8 = ki[None, :]
+    lane_iota = jnp.arange(n, dtype=jnp.int32)
+    total_rows = unified.shape[0]
+
+    inv_d = m.safe_div(jnp.ones((), m.Float), d, fill=jnp.inf)
+    live = cur != DONE
+    is_int = cur >= 0
+    is_leaf = cur <= -2
+
+    row_idx = jnp.where(
+        is_int, cur,
+        n_nodes + jnp.where(is_leaf, -cur - 2, 0),
+    )
+    # idle lanes: SPREAD their (discarded) gather rows across the table
+    # instead of all hitting one dummy row — the round-3 gather probe
+    # measured duplicate indices 1.45x SLOWER than random (bank
+    # conflicts serialize), so a shared dummy row makes idle lanes
+    # actively expensive rather than free.
+    if idle_spread:
+        row_idx = jnp.where(live, row_idx, lane_iota % total_rows)
+    row = jnp.take(unified, row_idx, axis=0)          # (N, 88)
+    codes = jax.lax.bitcast_convert_type(row[:, 0:WIDTH], jnp.int32)
+    bb = row[:, NODE_BASE : NODE_BASE + 6 * WIDTH].reshape(n, WIDTH, 6)
+    t0 = (bb[:, :, 0:3] - o[:, None, :]) * inv_d[:, None, :]
+    t1 = (bb[:, :, 3:6] - o[:, None, :]) * inv_d[:, None, :]
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (
+        (t_near <= t_far * 1.00000024) & (t_far > 0.0)
+        & (t_near < t_best[:, None]) & (codes != DONE)
+        & is_int[:, None]
+    )
+
+    t_sort = jnp.where(hit, t_near, jnp.inf)
+    k_near = jnp.argmin(t_sort, axis=-1)
+    any_child = jnp.any(hit, axis=-1)
+    onehot_near = ki[None, :] == k_near[:, None]
+    near_code = jnp.sum(jnp.where(onehot_near, codes, 0), axis=-1)
+
+    push_mask = hit & ~onehot_near
+    n_push = jnp.sum(push_mask, axis=-1).astype(jnp.int32)
+    tp = jnp.where(push_mask, t_near, -jnp.inf)
+    farther = (
+        (tp[:, None, :] > tp[:, :, None])
+        | ((tp[:, None, :] == tp[:, :, None])
+           & (ki[None, None, :] > ki[None, :, None]))
+    ) & push_mask[:, None, :]
+    rank_far = jnp.sum(farther, axis=-1).astype(jnp.int32)
+
+    trow = row  # leaf view of the same gathered row
+    frow = jax.lax.bitcast_convert_type(
+        trow[:, FACE_OFF:LEAF_ROW], jnp.int32
+    )
+    for kk in range(LEAF_CAP):
+        g9 = trow[:, 9 * kk : 9 * kk + 9]
+        v0 = g9[:, 0:3]
+        e1 = g9[:, 3:6] - v0
+        e2 = g9[:, 6:9] - v0
+        pvec = m.cross(d, e2)
+        det = m.dot(e1, pvec)
+        inv_det = m.safe_div(jnp.ones((), det.dtype), det)
+        tvec = o - v0
+        uu = m.dot(tvec, pvec) * inv_det
+        qvec = m.cross(tvec, e1)
+        vv = m.dot(d, qvec) * inv_det
+        tt = m.dot(e2, qvec) * inv_det
+        h = (
+            (jnp.abs(det) > 1e-10)
+            & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+            & (tt > 0.0) & (tt < t_best)
+        )
+        ok = is_leaf & h & (frow[:, kk] >= 0)
+        t_best = jnp.where(ok, tt, t_best)
+        face_best = jnp.where(ok, frow[:, kk], face_best)
+        u_best = jnp.where(ok, uu, u_best)
+        v_best = jnp.where(ok, vv, v_best)
+
+    early_done = any_hit & is_leaf & (face_best >= 0)
+
+    descend = is_int & any_child
+    want_pop = live & ~early_done & ~descend
+    can_pop = want_pop & (sp > 0)
+    popped = jnp.where(can_pop, stack[:, 0], DONE)
+    nxt = jnp.where(descend, near_code, jnp.where(want_pop, popped, DONE))
+    nxt = jnp.where(live & ~early_done, nxt, DONE)
+    sp_new = jnp.where(
+        descend, jnp.minimum(sp + n_push, STACK_DEPTH),
+        jnp.where(can_pop, sp - 1, sp),
+    )
+    sp_new = jnp.where(nxt == DONE, 0, sp_new)
+
+    # shift-register update: right by n_push on descend, left 1 on pop
+    shift = jnp.where(descend, n_push, 0) - can_pop.astype(jnp.int32)
+    res = jnp.where(
+        (shift == -1)[:, None],
+        jnp.concatenate(
+            [stack[:, 1:], jnp.full((n, 1), DONE, jnp.int32)], axis=1
+        ),
+        stack,
+    )
+    for s in range(1, WIDTH):
+        res = jnp.where(
+            (shift == s)[:, None],
+            jnp.concatenate(
+                [jnp.zeros((n, s), jnp.int32),
+                 stack[:, : STACK_DEPTH - s]],
+                axis=1,
+            ),
+            res,
+        )
+    # insert pushed codes at columns 0..n_push-1, nearest at column 0
+    head = res[:, :WIDTH]
+    for kk in range(WIDTH):
+        colk = (n_push - 1 - rank_far[:, kk])[:, None]
+        mk = (push_mask[:, kk] & descend)[:, None]
+        sel = (col8 == colk) & mk
+        head = jnp.where(sel, codes[:, kk : kk + 1], head)
+    stack = jnp.concatenate([head, res[:, WIDTH:]], axis=1)
+    return nxt, sp_new, stack, t_best, face_best, u_best, v_best
+
+
 def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
                 occl=None, sh_depth=None,
                 layout: BVHLayout | None = None,
@@ -225,12 +360,7 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
     roofline probe's active-row counter (scripts/roofline_probe.py);
     returns (state, census).  None (the default) compiles it out."""
     lay = layout if layout is not None else DEFAULT_LAYOUT
-    WIDTH, LEAF_CAP = lay.width, lay.leaf_cap
-    NODE_BASE, FACE_OFF, LEAF_ROW = lay.node_base, lay.face_off, lay.leaf_row
-    STACK_DEPTH = st.tr_stack.shape[1]
     n = st.alive.shape[0]
-    ki = jnp.arange(WIDTH, dtype=jnp.int32)
-    col8 = ki[None, :]
     alive = st.alive
     cont_p, nee_L = st.cont, st.nee_L
     next_o, next_d = st.next_o, st.next_d
@@ -239,9 +369,6 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
     assert not (record and count)
     if record:
         colD = jnp.arange(occl.shape[1], dtype=jnp.int32)[None, :]
-
-    lane_iota = jnp.arange(n, dtype=jnp.int32)
-    total_rows = unified.shape[0]
 
     def body(_, carry):
         if record:
@@ -279,128 +406,19 @@ def _trav_steps(unified, n_nodes: int, st: PersistentState, k: int,
         u_best = jnp.where(adv, 0.0, u_best)
         v_best = jnp.where(adv, 0.0, v_best)
 
-        inv_d = m.safe_div(jnp.ones((), m.Float), d, fill=jnp.inf)
         any_hit = phase == P_SHADOW
-        live = cur != DONE
-        is_int = cur >= 0
-        is_leaf = cur <= -2
         if count:
             # int32: one launch's worth (lanes x steps x rounds ~ 42M at
             # the flagship operating point) fits comfortably; the probe
             # accumulates across launches in host integers
             census = census + jnp.stack(
-                [jnp.sum(live.astype(jnp.int32)), jnp.int32(n)]
+                [jnp.sum((cur != DONE).astype(jnp.int32)), jnp.int32(n)]
             )
-
-        row_idx = jnp.where(
-            is_int, cur,
-            n_nodes + jnp.where(is_leaf, -cur - 2, 0),
-        )
-        # idle lanes: SPREAD their (discarded) gather rows across the table
-        # instead of all hitting one dummy row — the round-3 gather probe
-        # measured duplicate indices 1.45x SLOWER than random (bank
-        # conflicts serialize), so a shared dummy row makes idle lanes
-        # actively expensive rather than free.
-        if idle_spread:
-            row_idx = jnp.where(live, row_idx, lane_iota % total_rows)
-        row = jnp.take(unified, row_idx, axis=0)          # (N, 88)
-        codes = jax.lax.bitcast_convert_type(row[:, 0:WIDTH], jnp.int32)
-        bb = row[:, NODE_BASE : NODE_BASE + 6 * WIDTH].reshape(n, WIDTH, 6)
-        t0 = (bb[:, :, 0:3] - o[:, None, :]) * inv_d[:, None, :]
-        t1 = (bb[:, :, 3:6] - o[:, None, :]) * inv_d[:, None, :]
-        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        hit = (
-            (t_near <= t_far * 1.00000024) & (t_far > 0.0)
-            & (t_near < t_best[:, None]) & (codes != DONE)
-            & is_int[:, None]
-        )
-
-        t_sort = jnp.where(hit, t_near, jnp.inf)
-        k_near = jnp.argmin(t_sort, axis=-1)
-        any_child = jnp.any(hit, axis=-1)
-        onehot_near = ki[None, :] == k_near[:, None]
-        near_code = jnp.sum(jnp.where(onehot_near, codes, 0), axis=-1)
-
-        push_mask = hit & ~onehot_near
-        n_push = jnp.sum(push_mask, axis=-1).astype(jnp.int32)
-        tp = jnp.where(push_mask, t_near, -jnp.inf)
-        farther = (
-            (tp[:, None, :] > tp[:, :, None])
-            | ((tp[:, None, :] == tp[:, :, None])
-               & (ki[None, None, :] > ki[None, :, None]))
-        ) & push_mask[:, None, :]
-        rank_far = jnp.sum(farther, axis=-1).astype(jnp.int32)
-
-        trow = row  # leaf view of the same gathered row
-        frow = jax.lax.bitcast_convert_type(
-            trow[:, FACE_OFF:LEAF_ROW], jnp.int32
-        )
-        for kk in range(LEAF_CAP):
-            g9 = trow[:, 9 * kk : 9 * kk + 9]
-            v0 = g9[:, 0:3]
-            e1 = g9[:, 3:6] - v0
-            e2 = g9[:, 6:9] - v0
-            pvec = m.cross(d, e2)
-            det = m.dot(e1, pvec)
-            inv_det = m.safe_div(jnp.ones((), det.dtype), det)
-            tvec = o - v0
-            uu = m.dot(tvec, pvec) * inv_det
-            qvec = m.cross(tvec, e1)
-            vv = m.dot(d, qvec) * inv_det
-            tt = m.dot(e2, qvec) * inv_det
-            h = (
-                (jnp.abs(det) > 1e-10)
-                & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                & (tt > 0.0) & (tt < t_best)
+        nxt, sp_new, stack, t_best, face_best, u_best, v_best = \
+            _engine_step(
+                unified, n_nodes, lay, idle_spread, o, d, any_hit,
+                cur, sp, stack, t_best, face_best, u_best, v_best,
             )
-            ok = is_leaf & h & (frow[:, kk] >= 0)
-            t_best = jnp.where(ok, tt, t_best)
-            face_best = jnp.where(ok, frow[:, kk], face_best)
-            u_best = jnp.where(ok, uu, u_best)
-            v_best = jnp.where(ok, vv, v_best)
-
-        early_done = any_hit & is_leaf & (face_best >= 0)
-
-        descend = is_int & any_child
-        want_pop = live & ~early_done & ~descend
-        can_pop = want_pop & (sp > 0)
-        popped = jnp.where(can_pop, stack[:, 0], DONE)
-        nxt = jnp.where(descend, near_code, jnp.where(want_pop, popped, DONE))
-        nxt = jnp.where(live & ~early_done, nxt, DONE)
-        sp_new = jnp.where(
-            descend, jnp.minimum(sp + n_push, STACK_DEPTH),
-            jnp.where(can_pop, sp - 1, sp),
-        )
-        sp_new = jnp.where(nxt == DONE, 0, sp_new)
-
-        # shift-register update: right by n_push on descend, left 1 on pop
-        shift = jnp.where(descend, n_push, 0) - can_pop.astype(jnp.int32)
-        res = jnp.where(
-            (shift == -1)[:, None],
-            jnp.concatenate(
-                [stack[:, 1:], jnp.full((n, 1), DONE, jnp.int32)], axis=1
-            ),
-            stack,
-        )
-        for s in range(1, WIDTH):
-            res = jnp.where(
-                (shift == s)[:, None],
-                jnp.concatenate(
-                    [jnp.zeros((n, s), jnp.int32),
-                     stack[:, : STACK_DEPTH - s]],
-                    axis=1,
-                ),
-                res,
-            )
-        # insert pushed codes at columns 0..n_push-1, nearest at column 0
-        head = res[:, :WIDTH]
-        for kk in range(WIDTH):
-            colk = (n_push - 1 - rank_far[:, kk])[:, None]
-            mk = (push_mask[:, kk] & descend)[:, None]
-            sel = (col8 == colk) & mk
-            head = jnp.where(sel, codes[:, kk : kk + 1], head)
-        stack = jnp.concatenate([head, res[:, WIDTH:]], axis=1)
         out = (nxt, sp_new, stack, t_best, face_best, u_best,
                v_best, o, d, phase, L)
         if record:
@@ -520,105 +538,128 @@ def splat_deferred(camera, seed, rayL, idx0, n_valid, *, spp: int,
     )
 
 
-def _transition_trace(scene: Scene, st: PersistentState, seed, *,
-                      max_depth: int, rr_depth: int):
-    """P_TRACE lanes whose closest-hit finished: shade the surface exactly
-    as wavefront._bounce (emission MIS -> NEE sample -> BSDF sample -> RR),
-    leaving the shadow query armed and the next ray pending."""
-    doneA = st.alive & (st.phase == P_TRACE) & (st.tr_cur == DONE)
+def _shade(scene: Scene, seed, doneA, hit_o, hit_d, hit_t, hit_face,
+           hit_u, hit_v, L, f, eta, depth, prev_p, prev_pdf, prev_delta,
+           idx, *, max_depth: int, rr_depth: int):
+    """Pure shading of completed closest-hits, exactly as
+    wavefront._bounce (emission MIS -> NEE sample -> BSDF sample -> RR).
+    Takes explicit hit + path-state arrays (no PersistentState) so both
+    the single-path machine (_transition_trace) and the two-path pipelined
+    machine (integrators/pipelined.py) share the same estimator math and
+    RNG dimensions.  Returns a SimpleNamespace of post-shade fields; the
+    caller commits them under its own masks."""
     mats, tex = scene.materials, scene.textures
 
-    ray = Ray.make(st.tr_o, st.tr_d)
-    t_out = jnp.where(st.tr_face >= 0, st.tr_t, jnp.inf)
-    si, si_row = _make_si(scene, ray, t_out, st.tr_face, st.tr_u, st.tr_v,
+    ray = Ray.make(hit_o, hit_d)
+    t_out = jnp.where(hit_face >= 0, hit_t, jnp.inf)
+    si, si_row = _make_si(scene, ray, t_out, hit_face, hit_u, hit_v,
                           return_row=True)
     hit = doneA & si.valid
 
     # ---------------- emission at the hit (ray-first MIS) ----------------
-    ref = SimpleNamespace(p=st.prev_p)
-    gate = doneA & (st.prev_pdf > 0.0)
+    ref = SimpleNamespace(p=prev_p)
+    gate = doneA & (prev_pdf > 0.0)
     em_pdf = pdf_emitter_direction_packed(
         scene, ref, si, si_row[:, 27], si_row[:, 28],
-        gate & ~st.prev_delta,
+        gate & ~prev_delta,
     )
-    mis_hit = jnp.where(st.prev_delta, 1.0, mis_weight(st.prev_pdf, em_pdf))
-    L = st.L + jnp.where(
+    mis_hit = jnp.where(prev_delta, 1.0, mis_weight(prev_pdf, em_pdf))
+    L = L + jnp.where(
         (gate & hit)[:, None],
-        st.f * eval_emitter(scene, si, hit) * mis_hit[:, None], 0.0,
+        f * eval_emitter(scene, si, hit) * mis_hit[:, None], 0.0,
     )
-    esc = doneA & ~si.valid & (st.prev_pdf > 0.0)
-    env_pdf = pdf_environment_direction(scene, st.tr_d, esc & ~st.prev_delta)
-    mis_env = jnp.where(st.prev_delta, 1.0, mis_weight(st.prev_pdf, env_pdf))
+    esc = doneA & ~si.valid & (prev_pdf > 0.0)
+    env_pdf = pdf_environment_direction(scene, hit_d, esc & ~prev_delta)
+    mis_env = jnp.where(prev_delta, 1.0, mis_weight(prev_pdf, env_pdf))
     L = L + jnp.where(
         esc[:, None],
-        st.f * eval_environment(scene, esc, st.tr_d) * mis_env[:, None], 0.0,
+        f * eval_environment(scene, esc, hit_d) * mis_env[:, None], 0.0,
     )
 
     # ------------------------- NEE at the surface ------------------------
-    cont = hit & (st.depth < max_depth)
-    base = jnp.uint32(2) + jnp.uint32(6) * (st.depth - 1).astype(jnp.uint32)
+    cont = hit & (depth < max_depth)
+    base = jnp.uint32(2) + jnp.uint32(6) * (depth - 1).astype(jnp.uint32)
     flags = bsdflib.bsdf_flags(mats, si.mat_id)
     active_em = cont & has_flag(flags, BSDFFlags.Smooth)
 
-    u_em = _rand(seed, st.idx, base, 2)
+    u_em = _rand(seed, idx, base, 2)
     ds, em_weight = sample_emitter_direction(
         scene, si, u_em, False, active_em
     )
     active_em &= ds.pdf != 0.0
     wo = si.to_local(ds.d)
 
-    u1 = _rand(seed, st.idx, base + jnp.uint32(2), 1)
-    u2 = _rand(seed, st.idx, base + jnp.uint32(3), 2)
+    u1 = _rand(seed, idx, base + jnp.uint32(2), 1)
+    u2 = _rand(seed, idx, base + jnp.uint32(3), 2)
     bsdf_val, bsdf_pdf, bs, bsdf_weight = bsdflib.eval_pdf_sample(
         mats, tex, si, wo, u1, u2, cont
     )
     mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
     nee_L = jnp.where(
         active_em[:, None],
-        st.f * bsdf_val * em_weight * mis_em[:, None], 0.0,
+        f * bsdf_val * em_weight * mis_em[:, None], 0.0,
     )
 
     # ------------------- BSDF bounce + Russian roulette ------------------
-    f = st.f * bsdf_weight
-    eta = st.eta * bs.eta
-    fmax = m.max_component(f)
-    rr_prob = jnp.minimum(fmax * eta * eta, 0.95)
-    rr_active = st.depth >= rr_depth
-    u_rr = _rand(seed, st.idx, base + jnp.uint32(5), 1)
+    f2 = f * bsdf_weight
+    eta2 = eta * bs.eta
+    fmax = m.max_component(f2)
+    rr_prob = jnp.minimum(fmax * eta2 * eta2, 0.95)
+    rr_active = depth >= rr_depth
+    u_rr = _rand(seed, idx, base + jnp.uint32(5), 1)
     rr_continue = u_rr < rr_prob
-    f = jnp.where(
+    f2 = jnp.where(
         rr_active[:, None],
-        f * m.safe_rcp(jax.lax.stop_gradient(rr_prob))[:, None], f,
+        f2 * m.safe_rcp(jax.lax.stop_gradient(rr_prob))[:, None], f2,
     )
     cont2 = cont & (fmax != 0.0) & (~rr_active | rr_continue)
     ray2 = si.spawn_ray(si.to_world(bs.wo))
+    shadow = si.spawn_ray_to(ds.p)
+
+    return SimpleNamespace(
+        L=L, f=f2, eta=eta2, p=si.p, pdf=bs.pdf,
+        delta=has_flag(bs.sampled_type, BSDFFlags.Delta),
+        nee_L=nee_L, next_o=ray2.o, next_d=ray2.d, cont=cont2,
+        shadow_o=shadow.o, shadow_d=shadow.d, shadow_maxt=shadow.maxt,
+        active_em=active_em,
+    )
+
+
+def _transition_trace(scene: Scene, st: PersistentState, seed, *,
+                      max_depth: int, rr_depth: int):
+    """P_TRACE lanes whose closest-hit finished: shade the surface
+    (_shade), leaving the shadow query armed and the next ray pending."""
+    doneA = st.alive & (st.phase == P_TRACE) & (st.tr_cur == DONE)
+    sh = _shade(
+        scene, seed, doneA, st.tr_o, st.tr_d, st.tr_t, st.tr_face,
+        st.tr_u, st.tr_v, st.L, st.f, st.eta, st.depth, st.prev_p,
+        st.prev_pdf, st.prev_delta, st.idx,
+        max_depth=max_depth, rr_depth=rr_depth,
+    )
 
     # --------------- commit for doneA lanes; arm shadow query ------------
     d3 = doneA[:, None]
-    st = dataclasses.replace(st, 
-        L=jnp.where(d3, L, st.L),
-        f=jnp.where((doneA & cont2)[:, None], f, st.f),
-        eta=jnp.where(doneA & cont2, eta, st.eta),
-        depth=jnp.where(doneA & cont2, st.depth + 1, st.depth),
-        prev_p=jnp.where(d3, si.p, st.prev_p),
-        prev_pdf=jnp.where(doneA, bs.pdf, st.prev_pdf),
-        prev_delta=jnp.where(
-            doneA, has_flag(bs.sampled_type, BSDFFlags.Delta), st.prev_delta
-        ),
-        nee_L=jnp.where(d3, nee_L, st.nee_L),
-        next_o=jnp.where(d3, ray2.o, st.next_o),
-        next_d=jnp.where(d3, ray2.d, st.next_d),
-        cont=jnp.where(doneA, cont2, st.cont),
+    st = dataclasses.replace(st,
+        L=jnp.where(d3, sh.L, st.L),
+        f=jnp.where((doneA & sh.cont)[:, None], sh.f, st.f),
+        eta=jnp.where(doneA & sh.cont, sh.eta, st.eta),
+        depth=jnp.where(doneA & sh.cont, st.depth + 1, st.depth),
+        prev_p=jnp.where(d3, sh.p, st.prev_p),
+        prev_pdf=jnp.where(doneA, sh.pdf, st.prev_pdf),
+        prev_delta=jnp.where(doneA, sh.delta, st.prev_delta),
+        nee_L=jnp.where(d3, sh.nee_L, st.nee_L),
+        next_o=jnp.where(d3, sh.next_o, st.next_o),
+        next_d=jnp.where(d3, sh.next_d, st.next_d),
+        cont=jnp.where(doneA, sh.cont, st.cont),
         phase=jnp.where(doneA, P_SHADOW, st.phase),
     )
-    shadow = si.spawn_ray_to(ds.p)
-    st = _start_traversal(st, doneA & active_em, shadow.o, shadow.d,
-                          shadow.maxt)
+    st = _start_traversal(st, doneA & sh.active_em, sh.shadow_o,
+                          sh.shadow_d, sh.shadow_maxt)
     # lanes with no NEE query finish P_SHADOW trivially (tr_cur stays DONE,
     # tr_face < 0 -> unoccluded but nee_L = 0)
-    st = dataclasses.replace(st, 
-        tr_face=jnp.where(doneA & ~active_em, -1, st.tr_face),
-        tr_cur=jnp.where(doneA & ~active_em, DONE, st.tr_cur),
+    st = dataclasses.replace(st,
+        tr_face=jnp.where(doneA & ~sh.active_em, -1, st.tr_face),
+        tr_cur=jnp.where(doneA & ~sh.active_em, DONE, st.tr_cur),
     )
     return st
 

@@ -549,10 +549,12 @@ def replay_grads_sorted(scene: Scene, params: dict, update_fn, target,
     sum over chunks equals the whole-frame gradient exactly (standard
     adjoint/VJP decomposition; tested against replay_grads_full).
 
-    fused=True additionally groups same-class chunks into one lax.scan per
-    class per pass (<= 2 log D dispatches per frame instead of 2 rows/chunk
-    — the round-4 fix for the per-chunk dispatch tax that made the sorted
-    replay LOSE at depth 8 despite winning at 65)."""
+    fused=True additionally batches chunks into ascending pow2-sized RUNS,
+    one lax.scan per run per pass (~2 log(n_chunks) dispatches per frame
+    instead of 2 n_chunks — the round-4 fix for the per-chunk dispatch
+    tax that made the sorted replay LOSE at depth 8 despite winning at
+    65); run sizes depend only on n_chunks, so shapes are stable across
+    frames."""
     rows = rec.prim.shape[0]
     assert rows % chunk == 0, (rows, chunk)
     D = rec.prim.shape[1]
@@ -574,35 +576,32 @@ def replay_grads_sorted(scene: Scene, params: dict, update_fn, target,
               rfilter=rfilter)
 
     if fused:
-        # group chunk indices by class; chunks are class-sorted already
-        # (rows sorted by descending length), so each group is contiguous.
-        # Each group's chunk count is padded up to a power of two with
-        # sentinel rows (index 2^32-1: clamped by the gather, act0-gated to
-        # zero by ray_end) so the compiled shapes are stable across frames
-        # whose length distribution shifts a little.
-        groups: list[tuple[int, list[int]]] = []
-        for j, c in enumerate(cls):
-            if groups and groups[-1][0] == c:
-                groups[-1][1].append(j)
-            else:
-                groups.append((c, [j]))
+        # RUN decomposition: ascending pow2-sized runs over the class-
+        # sorted chunk list, the remainder (the bulk of short paths) as
+        # one big tail run.  Run SIZES depend only on n_chunks — fixed per
+        # workload — so compiled shapes are stable across frames; each
+        # run's scan length is its first (deepest) chunk's ladder class,
+        # exact for every chunk in the run (longer scans are no-ops past a
+        # path's recorded length).  The deep heavy-tail chunks get fine
+        # run granularity (sizes 1, 2, 4...), so one depth-65 chunk never
+        # drags the short-path mass through a 65-step scan.
+        sizes = []
+        rem, s = n_chunks, 1
+        while rem > 2 * s:
+            sizes.append(s)
+            rem -= s
+            s *= 2
+        sizes.append(rem)
+        runs = []  # (offset, size, n_steps)
+        off = 0
+        for s in sizes:
+            runs.append((off, s, cls[off]))
+            off += s
         order2 = order.reshape(n_chunks, chunk)
 
-        def padded(js):
-            p = 1
-            while p < len(js):
-                p *= 2
-            o = order2[js[0]:js[-1] + 1]
-            if p > len(js):
-                o = jnp.concatenate(
-                    [o, jnp.full((p - len(js), chunk), 0xFFFFFFFF,
-                                 jnp.uint32)], axis=0,
-                )
-            return o
-
-        for c, js in groups:
+        for off, s, c in runs:
             film = _replay_fwd_class(
-                scene, film, rec, padded(js), seed_u, end_u,
+                scene, film, rec, order2[off:off + s], seed_u, end_u,
                 n_steps=c, **kw,
             )
     else:
@@ -623,9 +622,9 @@ def replay_grads_sorted(scene: Scene, params: dict, update_fn, target,
 
     acc = jax.tree_util.tree_map(jnp.zeros_like, params)
     if fused:
-        for c, js in groups:
+        for off, s, c in runs:
             acc = _replay_adj_class(
-                scene, params, acc, adj, rec, padded(js),
+                scene, params, acc, adj, rec, order2[off:off + s],
                 seed_u, end_u, update_fn=update_fn, n_steps=c, **kw,
             )
     else:

@@ -246,9 +246,9 @@ def test_replay_grads_sorted_matches_full(bvh_scene):
         chunk=pad // 2, spp=spp, max_depth=depth, rr_depth=4,
         rfilter="box",
     )
-    # fused=True groups same-class chunks into one scan (pow2-padded with
-    # sentinel rows); fused=False is the per-chunk dispatch loop — both
-    # must match the uniform replay exactly
+    # fused=True batches chunks into ascending pow2-sized run scans;
+    # fused=False is the per-chunk dispatch loop — both must match the
+    # uniform replay exactly
     for rfilter, fused in (("box", True), ("box", False), ("tent", True)):
         g_sort = replay_grads_sorted(
             scene, params, update, jnp.asarray(target), 3, rec, n,
