@@ -1,0 +1,462 @@
+"""Two-path software-pipelined persistent wavefront (round-4 scheduler).
+
+Why (BENCH.md round 3): the persistent stepper sits at the chip's
+dependent-gather row floor (~12.3 ns/row), but 43% of gathered rows belong
+to IDLE lanes — lanes whose trace query completed mid-round and must wait
+for the out-of-loop shading transition.  Three scheduling knobs failed to
+recover this (inline refill, strided ownership, shorter rounds): the
+transitions that create the idle are also what amortizes them.
+
+The structural fix: each lane holds TWO independent paths (A, B) sharing
+ONE traversal engine.  When the engine finishes path A's trace query, its
+hit is saved to A's slot and the engine switches to B's pending query in
+the same iteration — shadow rays, next-bounce rays, or fresh camera rays
+queued at the last transition.  Rounds stay long (transition amortization
+intact) while the idle iterations fill with the other path's work.  At the
+round boundary, BOTH paths' completed traces are shaded (two masked passes
+of the same `_shade` core — per-bounce transition cost is unchanged).
+
+Scheduling changes only WHICH rows the engine gathers, not any estimate:
+paths carry their own camera-ray index, so RNG dimensions, shading math
+(persistent._shade) and per-ray radiance are identical to render() /
+render_persistent (equality-tested).
+
+Reference lineage: replaces the hardware SIMT scheduler that keeps OptiX
+warps busy across divergent path lengths (/root/reference/path.py:238,281
+megakernel traces); SURVEY.md section 7 "hard parts" #1.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core.struct import jstruct
+from ..render import film as filmlib
+from ..render import sensor as sensorlib
+from ..scene.types import Scene
+from .persistent import (
+    DEFAULT_LAYOUT,
+    DONE,
+    _engine_step,
+    _shade,
+    ray_positions,
+    splat_deferred,
+    unify_tables,
+)
+
+# per-path phases
+PH_DEAD = 0       # no work (refill target)
+PH_TRACE_PQ = 1   # trace pending, ray in qt_* (fresh camera ray)
+PH_TRACE_PN = 2   # trace pending, ray in next_* (armed by shadow resolve)
+PH_TRACE_RQ = 3   # trace running in engine (ray source qt_*)
+PH_TRACE_RN = 4   # trace running (ray source next_*)
+PH_READY_Q = 5    # trace done, hit saved in h_*, awaiting shading
+PH_READY_N = 6
+PH_SHADOW_P = 7   # shadow pending, ray in qt_*
+PH_SHADOW_R = 8   # shadow running in engine
+PH_RETIRE = 9     # path finished; L awaits the deferred splat
+
+
+@jstruct
+class PipelinedState:
+    """Per-lane: two path slots + one shared traversal engine.
+
+    Path-slot fields are (N, 2) / (N, 2, 3).  `Closure-class` fields are
+    written only at round transitions, so the stepper reads them as
+    loop-invariant closures and the fori_loop carry stays small (the
+    round-3 t-stack lesson: carry columns cost real streaming bandwidth).
+    """
+
+    # ---- closure-class path state (constant within a round) ----
+    f: jnp.ndarray          # (N, 2, 3) throughput at the next ray
+    eta: jnp.ndarray        # (N, 2)
+    depth: jnp.ndarray      # (N, 2) i32
+    prev_p: jnp.ndarray     # (N, 2, 3)
+    prev_pdf: jnp.ndarray   # (N, 2)
+    prev_delta: jnp.ndarray  # (N, 2) bool
+    idx: jnp.ndarray        # (N, 2) u32 camera-ray index
+    nee_L: jnp.ndarray      # (N, 2, 3) pending NEE contribution
+    next_o: jnp.ndarray     # (N, 2, 3) next path ray (source for TRACE_*N)
+    next_d: jnp.ndarray     # (N, 2, 3)
+    cont: jnp.ndarray       # (N, 2) bool
+    qt_o: jnp.ndarray       # (N, 2, 3) transition-armed query (camera or
+    qt_d: jnp.ndarray       # (N, 2, 3)  shadow ray; source for *_PQ / _P)
+    qt_maxt: jnp.ndarray    # (N, 2)
+    # ---- carried path state (mutated inside the stepper) ----
+    phase: jnp.ndarray      # (N, 2) i32
+    own: jnp.ndarray        # (N,) i32 which slot owns the engine
+    L: jnp.ndarray          # (N, 2, 3)
+    h_t: jnp.ndarray        # (N, 2) saved trace hit
+    h_face: jnp.ndarray     # (N, 2) i32
+    h_u: jnp.ndarray        # (N, 2)
+    h_v: jnp.ndarray        # (N, 2)
+    # ---- shared traversal engine (as persistent.PersistentState) ----
+    tr_o: jnp.ndarray       # (N, 3)
+    tr_d: jnp.ndarray       # (N, 3)
+    tr_cur: jnp.ndarray     # (N,) i32
+    tr_sp: jnp.ndarray      # (N,) i32
+    tr_stack: jnp.ndarray   # (N, S) i32
+    tr_t: jnp.ndarray       # (N,)
+    tr_face: jnp.ndarray    # (N,) i32
+    tr_u: jnp.ndarray       # (N,)
+    tr_v: jnp.ndarray       # (N,)
+
+    @staticmethod
+    def empty(n: int, stack_depth: int | None = None):
+        sd = DEFAULT_LAYOUT.stack if stack_depth is None else stack_depth
+        z23 = lambda v=0.0: jnp.full((n, 2, 3), v, m.Float)  # noqa: E731
+        z2 = lambda v=0.0: jnp.full((n, 2), v, m.Float)      # noqa: E731
+        i2 = lambda v=0: jnp.full((n, 2), v, jnp.int32)      # noqa: E731
+        return PipelinedState(
+            f=z23(1.0), eta=z2(1.0), depth=i2(1),
+            prev_p=z23(), prev_pdf=z2(1.0),
+            prev_delta=jnp.ones((n, 2), bool),
+            idx=jnp.zeros((n, 2), jnp.uint32),
+            nee_L=z23(), next_o=z23(), next_d=z23(),
+            cont=jnp.zeros((n, 2), bool),
+            qt_o=z23(), qt_d=z23(), qt_maxt=z2(),
+            phase=i2(PH_DEAD), own=jnp.zeros((n,), jnp.int32),
+            L=z23(), h_t=z2(), h_face=i2(-1), h_u=z2(), h_v=z2(),
+            tr_o=jnp.zeros((n, 3), m.Float), tr_d=jnp.zeros((n, 3), m.Float),
+            tr_cur=jnp.full((n,), DONE, jnp.int32),
+            tr_sp=jnp.zeros((n,), jnp.int32),
+            tr_stack=jnp.zeros((n, sd), jnp.int32),
+            tr_t=z2()[:, 0], tr_face=jnp.full((n,), -1, jnp.int32),
+            tr_u=z2()[:, 0], tr_v=z2()[:, 0],
+        )
+
+
+# ---- (N, 2) slot helpers: pure elementwise selects, never gathers ----
+
+def _sel(a, own):
+    """a[:, own] as an elementwise select."""
+    if a.ndim == 2:
+        return jnp.where(own == 0, a[:, 0], a[:, 1])
+    return jnp.where((own == 0)[:, None], a[:, 0], a[:, 1])
+
+
+def _put(a, own, mask, val):
+    """a[:, own] = val where mask (elementwise)."""
+    if a.ndim == 2:
+        return jnp.stack(
+            [jnp.where(mask & (own == 0), val, a[:, 0]),
+             jnp.where(mask & (own == 1), val, a[:, 1])], axis=1,
+        )
+    m0 = (mask & (own == 0))[:, None]
+    m1 = (mask & (own == 1))[:, None]
+    return jnp.stack(
+        [jnp.where(m0, val, a[:, 0]), jnp.where(m1, val, a[:, 1])], axis=1,
+    )
+
+
+def _pending(ph):
+    return (ph == PH_TRACE_PQ) | (ph == PH_TRACE_PN) | (ph == PH_SHADOW_P)
+
+
+def _complete_and_arm(cl, ph, own, L, h_t, h_face, h_u, h_v,
+                      tro, trd, cur, sp, t, face, u, v):
+    """Elementwise completion + engine (re)arming — the scheduler core.
+
+    `cl` holds the closure-class fields (SimpleNamespace-like view of the
+    state).  Runs at the top of every stepper iteration and once more at
+    the round boundary (to catch the final iteration's completion).
+    One-shot by construction: completions flip the phase they trigger on.
+    """
+    done = cur == DONE
+    php = _sel(ph, own)
+
+    # ---- shadow completion: resolve inline, chain to the next trace ----
+    sfin = done & (php == PH_SHADOW_R)
+    occluded = face >= 0
+    addL = sfin & ~occluded
+    L = _put(L, own, addL, _sel(L, own) + _sel(cl.nee_L, own))
+    contp = _sel(cl.cont, own)
+    ph = _put(ph, own, sfin,
+              jnp.where(contp, PH_TRACE_PN, PH_RETIRE))
+
+    # ---- trace completion: save the hit, park as READY ----
+    tfin = done & ((php == PH_TRACE_RQ) | (php == PH_TRACE_RN))
+    h_t = _put(h_t, own, tfin, t)
+    h_face = _put(h_face, own, tfin, face)
+    h_u = _put(h_u, own, tfin, u)
+    h_v = _put(h_v, own, tfin, v)
+    ph = _put(ph, own, tfin,
+              jnp.where(php == PH_TRACE_RQ, PH_READY_Q, PH_READY_N))
+
+    # ---- engine arming: own slot first, else switch to the other ----
+    own_pend = _pending(_sel(ph, own))
+    oth = 1 - own
+    oth_pend = _pending(_sel(ph, oth))
+    switch = done & ~own_pend & oth_pend
+    own = jnp.where(switch, oth, own)
+    p3 = _sel(ph, own)
+    arm = done & _pending(p3)
+    from_next = p3 == PH_TRACE_PN
+    qo = jnp.where(from_next[:, None], _sel(cl.next_o, own),
+                   _sel(cl.qt_o, own))
+    qd = jnp.where(from_next[:, None], _sel(cl.next_d, own),
+                   _sel(cl.qt_d, own))
+    qmax = jnp.where(p3 == PH_SHADOW_P, _sel(cl.qt_maxt, own), jnp.inf)
+    a3 = arm[:, None]
+    tro = jnp.where(a3, qo, tro)
+    trd = jnp.where(a3, qd, trd)
+    cur = jnp.where(arm, jnp.int32(0), cur)
+    sp = jnp.where(arm, 0, sp)
+    t = jnp.where(arm, qmax, t)
+    face = jnp.where(arm, -1, face)
+    u = jnp.where(arm, 0.0, u)
+    v = jnp.where(arm, 0.0, v)
+    run_ph = jnp.where(
+        p3 == PH_TRACE_PQ, PH_TRACE_RQ,
+        jnp.where(p3 == PH_TRACE_PN, PH_TRACE_RN, PH_SHADOW_R),
+    )
+    ph = _put(ph, own, arm, run_ph)
+    return ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, t, face, u, v
+
+
+def _stepper(unified, n_nodes: int, st: PipelinedState, k: int, *,
+             layout=None, idle_spread: bool = True):
+    """Advance the engines by at most k iterations, scheduling both slots
+    (see module docstring).  The engine body is persistent._engine_step —
+    identical traversal math to the single-path stepper."""
+    lay = layout if layout is not None else DEFAULT_LAYOUT
+    cl = st  # closure-class fields read via the state itself
+
+    def body(_, carry):
+        (ph, own, L, h_t, h_face, h_u, h_v,
+         tro, trd, cur, sp, stack, t, face, u, v) = carry
+        (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, t, face,
+         u, v) = _complete_and_arm(
+            cl, ph, own, L, h_t, h_face, h_u, h_v,
+            tro, trd, cur, sp, t, face, u, v,
+        )
+        any_hit = _sel(ph, own) == PH_SHADOW_R
+        cur, sp, stack, t, face, u, v = _engine_step(
+            unified, n_nodes, lay, idle_spread, tro, trd, any_hit,
+            cur, sp, stack, t, face, u, v,
+        )
+        return (ph, own, L, h_t, h_face, h_u, h_v,
+                tro, trd, cur, sp, stack, t, face, u, v)
+
+    init = (st.phase, st.own, st.L, st.h_t, st.h_face, st.h_u, st.h_v,
+            st.tr_o, st.tr_d, st.tr_cur, st.tr_sp, st.tr_stack, st.tr_t,
+            st.tr_face, st.tr_u, st.tr_v)
+    (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, stack, t,
+     face, u, v) = jax.lax.fori_loop(0, k, body, init)
+    return dataclasses.replace(
+        st, phase=ph, own=own, L=L, h_t=h_t, h_face=h_face, h_u=h_u,
+        h_v=h_v, tr_o=tro, tr_d=trd, tr_cur=cur, tr_sp=sp, tr_stack=stack,
+        tr_t=t, tr_face=face, tr_u=u, tr_v=v,
+    )
+
+
+def _finish_round(st: PipelinedState):
+    """Round-boundary completion catch-up (the stepper handles completions
+    at the TOP of each iteration, so the final iteration's completion is
+    still pending here) — pure elementwise, includes re-arming."""
+    (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, t, face, u,
+     v) = _complete_and_arm(
+        st, st.phase, st.own, st.L, st.h_t, st.h_face, st.h_u, st.h_v,
+        st.tr_o, st.tr_d, st.tr_cur, st.tr_sp, st.tr_t, st.tr_face,
+        st.tr_u, st.tr_v,
+    )
+    return dataclasses.replace(
+        st, phase=ph, own=own, L=L, h_t=h_t, h_face=h_face, h_u=h_u,
+        h_v=h_v, tr_o=tro, tr_d=trd, tr_cur=cur, tr_sp=sp, tr_t=t,
+        tr_face=face, tr_u=u, tr_v=v,
+    )
+
+
+def _retire_pipelined(st: PipelinedState, rayL, *, deferred_pad):
+    """Deferred splat of finished paths (both slots), as persistent._retire."""
+    n_pad, idx0 = deferred_pad
+    for p in (0, 1):
+        ret = st.phase[:, p] == PH_RETIRE
+        Lp = st.L[:, p]
+        dst = jnp.where(ret, st.idx[:, p] - idx0, n_pad)
+        rayL = rayL.at[dst].set(jnp.where(jnp.isfinite(Lp), Lp, 0.0))
+        st = dataclasses.replace(
+            st, phase=st.phase.at[:, p].set(
+                jnp.where(ret, PH_DEAD, st.phase[:, p])
+            ),
+        )
+    return st, rayL
+
+
+def _transition_pipelined(scene: Scene, st: PipelinedState, seed, *,
+                          max_depth: int, rr_depth: int):
+    """Shade both slots' READY paths with the shared persistent._shade
+    core, then queue their shadow (or next/retire) work."""
+    for p in (0, 1):
+        ph = st.phase[:, p]
+        doneA = (ph == PH_READY_Q) | (ph == PH_READY_N)
+        from_n = (ph == PH_READY_N)[:, None]
+        hit_o = jnp.where(from_n, st.next_o[:, p], st.qt_o[:, p])
+        hit_d = jnp.where(from_n, st.next_d[:, p], st.qt_d[:, p])
+        sh = _shade(
+            scene, seed, doneA, hit_o, hit_d, st.h_t[:, p],
+            st.h_face[:, p], st.h_u[:, p], st.h_v[:, p], st.L[:, p],
+            st.f[:, p], st.eta[:, p], st.depth[:, p], st.prev_p[:, p],
+            st.prev_pdf[:, p], st.prev_delta[:, p], st.idx[:, p],
+            max_depth=max_depth, rr_depth=rr_depth,
+        )
+        d3 = doneA[:, None]
+        adv = doneA & sh.cont
+        new_ph = jnp.where(
+            doneA & sh.active_em, PH_SHADOW_P,
+            jnp.where(adv, PH_TRACE_PN, jnp.where(doneA, PH_RETIRE, ph)),
+        )
+        st = dataclasses.replace(
+            st,
+            L=st.L.at[:, p].set(jnp.where(d3, sh.L, st.L[:, p])),
+            f=st.f.at[:, p].set(
+                jnp.where(adv[:, None], sh.f, st.f[:, p])),
+            eta=st.eta.at[:, p].set(
+                jnp.where(adv, sh.eta, st.eta[:, p])),
+            depth=st.depth.at[:, p].set(
+                jnp.where(adv, st.depth[:, p] + 1, st.depth[:, p])),
+            prev_p=st.prev_p.at[:, p].set(
+                jnp.where(d3, sh.p, st.prev_p[:, p])),
+            prev_pdf=st.prev_pdf.at[:, p].set(
+                jnp.where(doneA, sh.pdf, st.prev_pdf[:, p])),
+            prev_delta=st.prev_delta.at[:, p].set(
+                jnp.where(doneA, sh.delta, st.prev_delta[:, p])),
+            nee_L=st.nee_L.at[:, p].set(
+                jnp.where(d3, sh.nee_L, st.nee_L[:, p])),
+            next_o=st.next_o.at[:, p].set(
+                jnp.where(d3, sh.next_o, st.next_o[:, p])),
+            next_d=st.next_d.at[:, p].set(
+                jnp.where(d3, sh.next_d, st.next_d[:, p])),
+            cont=st.cont.at[:, p].set(
+                jnp.where(doneA, sh.cont, st.cont[:, p])),
+            qt_o=st.qt_o.at[:, p].set(jnp.where(
+                (doneA & sh.active_em)[:, None], sh.shadow_o,
+                st.qt_o[:, p])),
+            qt_d=st.qt_d.at[:, p].set(jnp.where(
+                (doneA & sh.active_em)[:, None], sh.shadow_d,
+                st.qt_d[:, p])),
+            qt_maxt=st.qt_maxt.at[:, p].set(jnp.where(
+                doneA & sh.active_em, sh.shadow_maxt, st.qt_maxt[:, p])),
+            phase=st.phase.at[:, p].set(new_ph),
+        )
+    return st
+
+
+def _refill_pipelined(scene: Scene, st: PipelinedState, next_ray, seed, *,
+                      spp: int, ray_end):
+    """Dead slots take fresh camera rays (prefix-sum ranked per slot)."""
+    for p in (0, 1):
+        dead = st.phase[:, p] == PH_DEAD
+        di = dead.astype(jnp.int32)
+        rank = jnp.cumsum(di) - di
+        new_idx = next_ray + rank.astype(jnp.uint32)
+        take = dead & (new_idx < jnp.uint32(ray_end))
+        pos = ray_positions(scene.camera, seed, new_idx, spp)
+        ray = sensorlib.sample_ray(scene.camera, pos)
+        t3 = take[:, None]
+        st = dataclasses.replace(
+            st,
+            L=st.L.at[:, p].set(jnp.where(t3, 0.0, st.L[:, p])),
+            f=st.f.at[:, p].set(jnp.where(t3, 1.0, st.f[:, p])),
+            eta=st.eta.at[:, p].set(jnp.where(take, 1.0, st.eta[:, p])),
+            depth=st.depth.at[:, p].set(
+                jnp.where(take, 1, st.depth[:, p])),
+            prev_p=st.prev_p.at[:, p].set(
+                jnp.where(t3, ray.o, st.prev_p[:, p])),
+            prev_pdf=st.prev_pdf.at[:, p].set(
+                jnp.where(take, 1.0, st.prev_pdf[:, p])),
+            prev_delta=st.prev_delta.at[:, p].set(
+                jnp.where(take, True, st.prev_delta[:, p])),
+            idx=st.idx.at[:, p].set(
+                jnp.where(take, new_idx, st.idx[:, p])),
+            nee_L=st.nee_L.at[:, p].set(
+                jnp.where(t3, 0.0, st.nee_L[:, p])),
+            cont=st.cont.at[:, p].set(
+                jnp.where(take, False, st.cont[:, p])),
+            qt_o=st.qt_o.at[:, p].set(
+                jnp.where(t3, ray.o, st.qt_o[:, p])),
+            qt_d=st.qt_d.at[:, p].set(
+                jnp.where(t3, ray.d, st.qt_d[:, p])),
+            qt_maxt=st.qt_maxt.at[:, p].set(
+                jnp.where(take, jnp.inf, st.qt_maxt[:, p])),
+            phase=st.phase.at[:, p].set(
+                jnp.where(take, PH_TRACE_PQ, st.phase[:, p])),
+        )
+        next_ray = next_ray + jnp.sum(take.astype(jnp.uint32))
+    return st, next_ray
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_nodes", "spp", "max_depth", "rr_depth", "steps",
+                     "n_rounds", "idle_spread"),
+    donate_argnums=(1, 2, 3),
+)
+def _run_pipelined(scene: Scene, st: PipelinedState, rayL, next_ray,
+                   seed, ray_end, unified, idx0, *, n_nodes: int, spp: int,
+                   max_depth: int, rr_depth: int, steps: int,
+                   n_rounds: int, idle_spread: bool = True):
+    n_pad = jnp.uint32(rayL.shape[0] - 1)
+    layout = scene.bvh.layout
+
+    def one_round(carry, _):
+        st, rayL, next_ray = carry
+        st = _finish_round(st)
+        st, rayL = _retire_pipelined(st, rayL, deferred_pad=(n_pad, idx0))
+        st = _transition_pipelined(
+            scene, st, seed, max_depth=max_depth, rr_depth=rr_depth
+        )
+        st, next_ray = _refill_pipelined(
+            scene, st, next_ray, seed, spp=spp, ray_end=ray_end
+        )
+        st = _stepper(unified, n_nodes, st, steps, layout=layout,
+                      idle_spread=idle_spread)
+        return (st, rayL, next_ray), None
+
+    (st, rayL, next_ray), _ = jax.lax.scan(
+        one_round, (st, rayL, next_ray), None, length=n_rounds
+    )
+    return st, rayL, next_ray
+
+
+@jax.jit
+def _poll2(st: PipelinedState, next_ray):
+    return jnp.sum((st.phase != PH_DEAD).astype(jnp.int32)), next_ray
+
+
+def render_pipelined(scene: Scene, seed: int = 0, spp: int = 16,
+                     max_depth: int = 16, rr_depth: int = 4,
+                     rfilter: str = "box", n_lanes: int = 32768,
+                     steps: int = 16, rounds_per_launch: int = 8):
+    """Full-frame render with the two-path pipelined machine.  Per-ray
+    radiance is identical to render_persistent (same RNG dims, same
+    shading core) — only the engine scheduling differs."""
+    w, h = scene.camera.resolution
+    n_total = w * h * spp
+    n_lanes = min(n_lanes, max(n_total // 2, 1))
+
+    seed_u = jnp.uint32(seed)
+    rayL = jnp.zeros((n_total + 1, 3), m.Float)
+    lay = scene.bvh.layout or DEFAULT_LAYOUT
+    st = PipelinedState.empty(n_lanes, stack_depth=lay.stack)
+    next_ray = jnp.zeros((), jnp.uint32)
+    unified, n_nodes = unify_tables(scene.bvh)
+    idx0 = jnp.uint32(0)
+    while True:
+        st, rayL, next_ray = _run_pipelined(
+            scene, st, rayL, next_ray, seed_u, jnp.uint32(n_total),
+            unified, idx0, n_nodes=n_nodes, spp=spp, max_depth=max_depth,
+            rr_depth=rr_depth, steps=steps, n_rounds=rounds_per_launch,
+        )
+        n_alive, cursor = jax.device_get(_poll2(st, next_ray))
+        if int(cursor) >= n_total and int(n_alive) == 0:
+            break
+    film = splat_deferred(
+        scene.camera, seed_u, rayL[:n_total], idx0, jnp.uint32(n_total),
+        spp=spp, rfilter=rfilter, w=w, h=h,
+    )
+    return filmlib.develop(film)
