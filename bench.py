@@ -168,6 +168,21 @@ def worker(cfg):
     # benchmark measures the production renderer, not the debug one.
     # mode="lockstep" (the small fallback rung) uses the round-1 chunked
     # launches instead — tiny always-warm programs.
+    # scheduler selection: "persistent" (single-path, round-3 default) or
+    # "pipelined" (two paths per lane share one engine — round 4); both
+    # produce identical images (tests/test_pipelined.py)
+    sched = cfg.get("sched", os.environ.get("BENCH_SCHED", "persistent"))
+    if sched == "pipelined":
+        from mitsuba3_experiments_tpu.integrators.pipelined import (
+            record_full_pipelined as _record,
+            render_pipelined as _render,
+        )
+    else:
+        from mitsuba3_experiments_tpu.integrators.replay import (
+            record_full as _record,
+        )
+        _render = render_persistent
+
     if cfg.get("mode") == "lockstep":
         integ = PathIntegrator(max_depth=depth, rr_depth=4)
 
@@ -195,12 +210,12 @@ def worker(cfg):
             n_lanes=cfg.get("n_lanes", 65536), steps=cfg.get("steps", 20),
             rounds_per_launch=cfg.get("rpl", 32),
         )
-        img = render_persistent(scene, seed=0, **pkw)
+        img = _render(scene, seed=0, **pkw)
         jax.block_until_ready(img)
         print("# fwd compile done", flush=True)
 
         t0 = time.perf_counter()
-        img = render_persistent(scene, seed=1, **pkw)
+        img = _render(scene, seed=1, **pkw)
         jax.block_until_ready(img)
         dt = time.perf_counter() - t0
         rays_per_s = (n * spp) / dt
@@ -267,7 +282,6 @@ def worker(cfg):
         # (integrators/replay.py; record_full == record_chunk and replay
         # grads match the scan-AD integrator — tests/test_replay.py)
         from mitsuba3_experiments_tpu.integrators.replay import (
-            record_full,
             replay_grads,
         )
 
@@ -289,7 +303,7 @@ def worker(cfg):
         )
 
         def fwd_bwd(seed):
-            rec = record_full(
+            rec = _record(
                 scene, seed, n_rays, n_lanes=lanes, pad_to=pad, **rkw,
             )
             return replay_grads(

@@ -67,20 +67,46 @@ if which == "caustic":
     scene, _ = load_dict(caustic_scene(res))
 else:
     scene, _ = load_dict(cornell_box(res=res, spp=1))
-ref = np.asarray(render(scene, PathIntegrator(max_depth=8, rr_depth=4), spp=128))
+ref_spp = int(__import__("os").environ.get("PSSMLT_REF_SPP", "1024"))
+ref = np.asarray(
+    render(scene, PathIntegrator(max_depth=8, rr_depth=4), spp=ref_spp,
+           seed=101)
+)
 
 integ = Pssmlt(max_depth=8, rr_depth=4)
 img = np.asarray(integ.render(scene, seed=0, n_iterations=iters))
 
-# equal-budget independent-sampling comparison (the ptracer/path pair of
-# testpssmlt.py): PSSMLT consumed ~iters mutations per lane at spp=1 scale
+# EQUAL-BUDGET independent-sampling comparison (the ptracer/path pair of
+# /root/reference/testpssmlt.py:17-49): one PSSMLT chain per pixel makes
+# `iters - bootstrap` aggregated mutations per pixel, each one full path
+# sample, so the path tracer gets exactly that many spp
+eq_spp = max(2, iters - integ.bootstrap_count)
 eq = np.asarray(
     render(scene, PathIntegrator(max_depth=8, rr_depth=4),
-           spp=max(2, iters // 32), seed=11)
+           spp=eq_spp, seed=11)
 )
-print(f"[{which}] MSE pssmlt vs ref: {mse(img, ref):.4e}")
-print(f"[{which}] MSE equal-budget path vs ref: {mse(eq, ref):.4e}")
+m_pssmlt = float(mse(img, ref))
+m_path = float(mse(eq, ref))
+print(f"[{which}] MSE pssmlt ({iters} mutations) vs {ref_spp}-spp ref: "
+      f"{m_pssmlt:.4e}")
+print(f"[{which}] MSE equal-budget path ({eq_spp} spp) vs ref: "
+      f"{m_path:.4e}")
 write_png(f"out/pssmlt_{which}.png", img)
 write_png(f"out/pssmlt_{which}_ref.png", ref)
 write_png(f"out/pssmlt_{which}_diff.png", np.abs(img - ref))
-print(f"wrote out/pssmlt_{which}*.png")
+
+import json
+import os
+
+os.makedirs("artifacts", exist_ok=True)
+out = {
+    "scene": which, "res": res, "iterations": iters,
+    "bootstrap": integ.bootstrap_count, "ref_spp": ref_spp,
+    "equal_budget_spp": eq_spp,
+    "mse_pssmlt": m_pssmlt, "mse_path_equal_budget": m_path,
+    "pssmlt_vs_path": m_pssmlt / m_path if m_path > 0 else None,
+}
+with open(f"artifacts/pssmlt_{which}_metrics.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out))
+print(f"wrote out/pssmlt_{which}*.png + artifacts/pssmlt_{which}_metrics.json")

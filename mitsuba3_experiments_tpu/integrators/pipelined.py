@@ -86,6 +86,8 @@ class PipelinedState:
     qt_o: jnp.ndarray       # (N, 2, 3) transition-armed query (camera or
     qt_d: jnp.ndarray       # (N, 2, 3)  shadow ray; source for *_PQ / _P)
     qt_maxt: jnp.ndarray    # (N, 2)
+    sh_depth: jnp.ndarray   # (N, 2) i32 bounce of the pending shadow ray
+    #                         (recorder bookkeeping; set at shading)
     # ---- carried path state (mutated inside the stepper) ----
     phase: jnp.ndarray      # (N, 2) i32
     own: jnp.ndarray        # (N,) i32 which slot owns the engine
@@ -118,7 +120,7 @@ class PipelinedState:
             idx=jnp.zeros((n, 2), jnp.uint32),
             nee_L=z23(), next_o=z23(), next_d=z23(),
             cont=jnp.zeros((n, 2), bool),
-            qt_o=z23(), qt_d=z23(), qt_maxt=z2(),
+            qt_o=z23(), qt_d=z23(), qt_maxt=z2(), sh_depth=i2(1),
             phase=i2(PH_DEAD), own=jnp.zeros((n,), jnp.int32),
             L=z23(), h_t=z2(), h_face=i2(-1), h_u=z2(), h_v=z2(),
             tr_o=jnp.zeros((n, 3), m.Float), tr_d=jnp.zeros((n, 3), m.Float),
@@ -158,13 +160,19 @@ def _pending(ph):
 
 
 def _complete_and_arm(cl, ph, own, L, h_t, h_face, h_u, h_v,
-                      tro, trd, cur, sp, t, face, u, v):
+                      tro, trd, cur, sp, t, face, u, v, occm=None):
     """Elementwise completion + engine (re)arming — the scheduler core.
 
     `cl` holds the closure-class fields (SimpleNamespace-like view of the
     state).  Runs at the top of every stepper iteration and once more at
     the round boundary (to catch the final iteration's completion).
     One-shot by construction: completions flip the phase they trigger on.
+
+    `occm` (recorder only, (N, 2, W) uint32): per-slot occlusion BITMASK
+    — bit (sh_depth-1) of the slot's words records whether its NEE shadow
+    ray at that bounce was occluded.  Packed words instead of (N, 2, D)
+    bools keep the stepper carry small (3 words cover depth 65 where the
+    single-path recorder streams 65 bool columns per iteration).
     """
     done = cur == DONE
     php = _sel(ph, own)
@@ -174,6 +182,19 @@ def _complete_and_arm(cl, ph, own, L, h_t, h_face, h_u, h_v,
     occluded = face >= 0
     addL = sfin & ~occluded
     L = _put(L, own, addL, _sel(L, own) + _sel(cl.nee_L, own))
+    if occm is not None:
+        bitpos = (_sel(cl.sh_depth, own) - 1).astype(jnp.uint32)
+        word = (bitpos // 32).astype(jnp.int32)
+        v_bit = jnp.where(
+            sfin & occluded,
+            jnp.uint32(1) << (bitpos % 32), jnp.uint32(0),
+        )
+        cols = []
+        for wdx in range(occm.shape[2]):
+            w2 = occm[:, :, wdx]
+            cols.append(_put(w2, own, sfin & (word == wdx),
+                             _sel(w2, own) | v_bit))
+        occm = jnp.stack(cols, axis=2)
     contp = _sel(cl.cont, own)
     ph = _put(ph, own, sfin,
               jnp.where(contp, PH_TRACE_PN, PH_RETIRE))
@@ -215,60 +236,79 @@ def _complete_and_arm(cl, ph, own, L, h_t, h_face, h_u, h_v,
         jnp.where(p3 == PH_TRACE_PN, PH_TRACE_RN, PH_SHADOW_R),
     )
     ph = _put(ph, own, arm, run_ph)
-    return ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, t, face, u, v
+    out = (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, t, face,
+           u, v)
+    return out + (occm,) if occm is not None else out
 
 
 def _stepper(unified, n_nodes: int, st: PipelinedState, k: int, *,
-             layout=None, idle_spread: bool = True):
+             layout=None, idle_spread: bool = True, occm=None):
     """Advance the engines by at most k iterations, scheduling both slots
     (see module docstring).  The engine body is persistent._engine_step —
-    identical traversal math to the single-path stepper."""
+    identical traversal math to the single-path stepper.  With `occm`
+    (recorder), returns (state, occm)."""
     lay = layout if layout is not None else DEFAULT_LAYOUT
     cl = st  # closure-class fields read via the state itself
+    rec = occm is not None
 
     def body(_, carry):
-        (ph, own, L, h_t, h_face, h_u, h_v,
-         tro, trd, cur, sp, stack, t, face, u, v) = carry
-        (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, t, face,
-         u, v) = _complete_and_arm(
+        if rec:
+            (ph, own, L, h_t, h_face, h_u, h_v,
+             tro, trd, cur, sp, stack, t, face, u, v, occm) = carry
+        else:
+            (ph, own, L, h_t, h_face, h_u, h_v,
+             tro, trd, cur, sp, stack, t, face, u, v) = carry
+            occm = None
+        out = _complete_and_arm(
             cl, ph, own, L, h_t, h_face, h_u, h_v,
-            tro, trd, cur, sp, t, face, u, v,
+            tro, trd, cur, sp, t, face, u, v, occm=occm,
         )
+        (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, t, face,
+         u, v) = out[:15]
+        if rec:
+            occm = out[15]
         any_hit = _sel(ph, own) == PH_SHADOW_R
         cur, sp, stack, t, face, u, v = _engine_step(
             unified, n_nodes, lay, idle_spread, tro, trd, any_hit,
             cur, sp, stack, t, face, u, v,
         )
-        return (ph, own, L, h_t, h_face, h_u, h_v,
-                tro, trd, cur, sp, stack, t, face, u, v)
+        res = (ph, own, L, h_t, h_face, h_u, h_v,
+               tro, trd, cur, sp, stack, t, face, u, v)
+        return res + (occm,) if rec else res
 
     init = (st.phase, st.own, st.L, st.h_t, st.h_face, st.h_u, st.h_v,
             st.tr_o, st.tr_d, st.tr_cur, st.tr_sp, st.tr_stack, st.tr_t,
             st.tr_face, st.tr_u, st.tr_v)
+    if rec:
+        init = init + (occm,)
+    fin = jax.lax.fori_loop(0, k, body, init)
     (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, stack, t,
-     face, u, v) = jax.lax.fori_loop(0, k, body, init)
-    return dataclasses.replace(
+     face, u, v) = fin[:16]
+    st = dataclasses.replace(
         st, phase=ph, own=own, L=L, h_t=h_t, h_face=h_face, h_u=h_u,
         h_v=h_v, tr_o=tro, tr_d=trd, tr_cur=cur, tr_sp=sp, tr_stack=stack,
         tr_t=t, tr_face=face, tr_u=u, tr_v=v,
     )
+    return (st, fin[16]) if rec else st
 
 
-def _finish_round(st: PipelinedState):
+def _finish_round(st: PipelinedState, occm=None):
     """Round-boundary completion catch-up (the stepper handles completions
     at the TOP of each iteration, so the final iteration's completion is
     still pending here) — pure elementwise, includes re-arming."""
-    (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, t, face, u,
-     v) = _complete_and_arm(
+    out = _complete_and_arm(
         st, st.phase, st.own, st.L, st.h_t, st.h_face, st.h_u, st.h_v,
         st.tr_o, st.tr_d, st.tr_cur, st.tr_sp, st.tr_t, st.tr_face,
-        st.tr_u, st.tr_v,
+        st.tr_u, st.tr_v, occm=occm,
     )
-    return dataclasses.replace(
+    (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, t, face, u,
+     v) = out[:15]
+    st = dataclasses.replace(
         st, phase=ph, own=own, L=L, h_t=h_t, h_face=h_face, h_u=h_u,
         h_v=h_v, tr_o=tro, tr_d=trd, tr_cur=cur, tr_sp=sp, tr_t=t,
         tr_face=face, tr_u=u, tr_v=v,
     )
+    return (st, out[15]) if occm is not None else st
 
 
 def _retire_pipelined(st: PipelinedState, rayL, *, deferred_pad):
@@ -288,12 +328,33 @@ def _retire_pipelined(st: PipelinedState, rayL, *, deferred_pad):
 
 
 def _transition_pipelined(scene: Scene, st: PipelinedState, seed, *,
-                          max_depth: int, rr_depth: int):
+                          max_depth: int, rr_depth: int, rec=None):
     """Shade both slots' READY paths with the shared persistent._shade
-    core, then queue their shadow (or next/retire) work."""
+    core, then queue their shadow (or next/retire) work.
+
+    `rec` (recorder): (prim, u, v) tuple of (N, 2, D) slot-local record
+    arrays; each shaded slot's saved hit is written at column depth-1 and
+    its sh_depth bookkeeping set (the occlusion bit lands in the stepper's
+    bitmask at resolve time).  Returns (st, rec) then."""
+    record = rec is not None
+    if record:
+        r_prim, r_u, r_v = rec
+        colD = jnp.arange(r_prim.shape[2], dtype=jnp.int32)[None, :]
     for p in (0, 1):
         ph = st.phase[:, p]
         doneA = (ph == PH_READY_Q) | (ph == PH_READY_N)
+        if record:
+            sel = (colD == (st.depth[:, p] - 1)[:, None]) & doneA[:, None]
+            r_prim = r_prim.at[:, p].set(
+                jnp.where(sel, st.h_face[:, p][:, None], r_prim[:, p]))
+            r_u = r_u.at[:, p].set(
+                jnp.where(sel, st.h_u[:, p][:, None], r_u[:, p]))
+            r_v = r_v.at[:, p].set(
+                jnp.where(sel, st.h_v[:, p][:, None], r_v[:, p]))
+            st = dataclasses.replace(
+                st, sh_depth=st.sh_depth.at[:, p].set(
+                    jnp.where(doneA, st.depth[:, p], st.sh_depth[:, p])),
+            )
         from_n = (ph == PH_READY_N)[:, None]
         hit_o = jnp.where(from_n, st.next_o[:, p], st.qt_o[:, p])
         hit_d = jnp.where(from_n, st.next_d[:, p], st.qt_d[:, p])
@@ -343,7 +404,7 @@ def _transition_pipelined(scene: Scene, st: PipelinedState, seed, *,
                 doneA & sh.active_em, sh.shadow_maxt, st.qt_maxt[:, p])),
             phase=st.phase.at[:, p].set(new_ph),
         )
-    return st
+    return (st, (r_prim, r_u, r_v)) if record else st
 
 
 def _refill_pipelined(scene: Scene, st: PipelinedState, next_ray, seed, *,
@@ -460,3 +521,131 @@ def render_pipelined(scene: Scene, seed: int = 0, spp: int = 16,
         spp=spp, rfilter=rfilter, w=w, h=h,
     )
     return filmlib.develop(film)
+
+
+# ------------------------- pipelined recorder -------------------------
+
+def _flush_record_pipelined(st: PipelinedState, occm, r_prim, r_u, r_v,
+                            glob, idx0):
+    """Flush RETIREd slots' packed record rows into the frame-sized glob
+    (one (N, D, 4) scatter per slot per round; layout identical to
+    replay._run_record_full — prim bitcast f32, occl as 0/1 unpacked from
+    the bitmask).  Clears the slot to PH_DEAD for refill."""
+    D = r_prim.shape[2]
+    n_pad = glob.shape[0] - 1
+    colD = jnp.arange(D, dtype=jnp.uint32)
+    for p in (0, 1):
+        ret = st.phase[:, p] == PH_RETIRE
+        # unpack occlusion bits for this slot: (N, D) f32
+        words = occm[:, p, (colD // 32).astype(jnp.int32)]  # static idx
+        occf = ((words >> (colD % 32)[None, :]) & 1).astype(jnp.float32)
+        packed = jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(r_prim[:, p], jnp.float32),
+                r_u[:, p],
+                r_v[:, p],
+                occf,
+            ],
+            axis=-1,
+        )
+        dst = jnp.where(ret, st.idx[:, p] - jnp.uint32(idx0),
+                        jnp.uint32(n_pad))
+        glob = glob.at[dst].set(packed)
+        st = dataclasses.replace(
+            st, phase=st.phase.at[:, p].set(
+                jnp.where(ret, PH_DEAD, st.phase[:, p])),
+        )
+        # clear the freed slot's local record so a refill starts clean
+        r3 = ret[:, None]
+        r_prim = r_prim.at[:, p].set(jnp.where(r3, -1, r_prim[:, p]))
+        r_u = r_u.at[:, p].set(jnp.where(r3, 0.0, r_u[:, p]))
+        r_v = r_v.at[:, p].set(jnp.where(r3, 0.0, r_v[:, p]))
+        occm = occm.at[:, p].set(
+            jnp.where(r3, jnp.uint32(0), occm[:, p]))
+    return st, occm, r_prim, r_u, r_v, glob
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_nodes", "spp", "max_depth", "rr_depth", "steps",
+                     "n_rounds", "idle_spread"),
+    donate_argnums=(1, 2, 3, 4, 5, 6, 7),
+)
+def _run_record_pipelined(scene: Scene, st: PipelinedState, occm, r_prim,
+                          r_u, r_v, glob, next_ray, seed, ray_end,
+                          unified, idx0=0, *, n_nodes: int, spp: int,
+                          max_depth: int, rr_depth: int, steps: int,
+                          n_rounds: int, idle_spread: bool = True):
+    """Recorder rounds on the two-path machine: the refill+flush design of
+    replay._run_record_full with the pipelined scheduler underneath."""
+    layout = scene.bvh.layout
+
+    def one_round(carry, _):
+        st, occm, r_prim, r_u, r_v, glob, next_ray = carry
+        st, occm = _finish_round(st, occm=occm)
+        st, occm, r_prim, r_u, r_v, glob = _flush_record_pipelined(
+            st, occm, r_prim, r_u, r_v, glob, idx0,
+        )
+        st, (r_prim, r_u, r_v) = _transition_pipelined(
+            scene, st, seed, max_depth=max_depth, rr_depth=rr_depth,
+            rec=(r_prim, r_u, r_v),
+        )
+        st, next_ray = _refill_pipelined(
+            scene, st, next_ray, seed, spp=spp, ray_end=ray_end
+        )
+        st, occm = _stepper(unified, n_nodes, st, steps, layout=layout,
+                            idle_spread=idle_spread, occm=occm)
+        return (st, occm, r_prim, r_u, r_v, glob, next_ray), None
+
+    (st, occm, r_prim, r_u, r_v, glob, next_ray), _ = jax.lax.scan(
+        one_round, (st, occm, r_prim, r_u, r_v, glob, next_ray), None,
+        length=n_rounds,
+    )
+    return st, occm, r_prim, r_u, r_v, glob, next_ray
+
+
+def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
+                          max_depth: int, rr_depth: int, steps: int = 16,
+                          rounds_per_launch: int = 8, n_lanes: int = 32768,
+                          pad_to: int | None = None):
+    """record_full on the two-path pipelined machine — same PathRecord
+    (bit-equal: same rays, same RNG dims, same flush layout), recorded with
+    the idle-filling scheduler.  Drop-in for replay.record_full."""
+    from .replay import PathRecord
+
+    n_lanes = min(n_lanes, max(n_rays // 2, 1))
+    rows = max(pad_to or n_rays, n_rays)
+    lay = scene.bvh.layout or DEFAULT_LAYOUT
+    st = PipelinedState.empty(n_lanes, stack_depth=lay.stack)
+    W = (max_depth + 31) // 32
+    occm = jnp.zeros((n_lanes, 2, W), jnp.uint32)
+    r_prim = jnp.full((n_lanes, 2, max_depth), -1, jnp.int32)
+    r_u = jnp.zeros((n_lanes, 2, max_depth), jnp.float32)
+    r_v = jnp.zeros((n_lanes, 2, max_depth), jnp.float32)
+    glob = jnp.tile(
+        jnp.array(
+            [jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32),
+             0.0, 0.0, 0.0], jnp.float32,
+        ),
+        (rows + 1, max_depth, 1),
+    )
+    next_ray = jnp.zeros((), jnp.uint32)
+    seed_u = jnp.uint32(seed)
+    unified, n_nodes = unify_tables(scene.bvh)
+    while True:
+        st, occm, r_prim, r_u, r_v, glob, next_ray = _run_record_pipelined(
+            scene, st, occm, r_prim, r_u, r_v, glob, next_ray, seed_u,
+            jnp.uint32(n_rays), unified, n_nodes=n_nodes, spp=spp,
+            max_depth=max_depth, rr_depth=rr_depth, steps=steps,
+            n_rounds=rounds_per_launch,
+        )
+        n_alive, cursor = jax.device_get(_poll2(st, next_ray))
+        if int(cursor) >= n_rays and int(n_alive) == 0:
+            break
+    glob = glob[:rows]
+    return PathRecord(
+        prim=jax.lax.bitcast_convert_type(glob[:, :, 0], jnp.int32),
+        u=glob[:, :, 1],
+        v=glob[:, :, 2],
+        occl=glob[:, :, 3] != 0.0,
+    )

@@ -56,3 +56,24 @@ def test_pipelined_engine_stays_busy(box):
         rounds_per_launch=2, n_lanes=128,
     ))
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_pipelined_recorder_matches_record_full(box):
+    """record_full_pipelined must produce a bit-equal PathRecord: same
+    rays, same RNG dims, same packed flush layout — only the engine
+    scheduling (and the bitmask occlusion bookkeeping) differ."""
+    from mitsuba3_experiments_tpu.integrators.pipelined import (
+        record_full_pipelined,
+    )
+    from mitsuba3_experiments_tpu.integrators.replay import record_full
+
+    n = 32 * 32 * 4
+    pad = n + 96
+    kw = dict(spp=4, max_depth=6, rr_depth=2, steps=7,
+              rounds_per_launch=3, pad_to=pad)
+    a = record_full(box, 3, n, n_lanes=256, **kw)
+    b = record_full_pipelined(box, 3, n, n_lanes=128, **kw)
+    for f in ("prim", "u", "v", "occl"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(b, f)), np.asarray(getattr(a, f)), err_msg=f
+        )
