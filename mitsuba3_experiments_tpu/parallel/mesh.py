@@ -137,13 +137,18 @@ def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
                               spp: int = 16, max_depth: int = 16,
                               rr_depth: int = 4, rfilter: str = "box",
                               n_lanes: int = 32768, steps: int = 16,
-                              rounds_per_launch: int = 8):
+                              rounds_per_launch: int = 8,
+                              scheduler: str = "persistent"):
     """Multi-chip persistent-wavefront render: each device runs its own
-    incremental-traversal state machine (integrators/persistent.py) over an
-    owned contiguous slice of the global ray stream; each device splats its
-    deferred per-ray radiance slice once at the end, films psum at develop.
-    RNG is keyed by global ray index, so the result equals the
-    single-device renderer up to splat-order float noise."""
+    incremental-traversal state machine over an owned contiguous slice of
+    the global ray stream; each device splats its deferred per-ray
+    radiance slice once at the end, films psum at develop.  RNG is keyed
+    by global ray index, so the result equals the single-device renderer
+    up to splat-order float noise.
+
+    scheduler="persistent" runs the single-path machine
+    (integrators/persistent.py); "pipelined" the two-path idle-filling
+    machine (integrators/pipelined.py) — identical images either way."""
     from ..integrators.persistent import (
         PersistentState,
         _run_persistent,
@@ -151,13 +156,28 @@ def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
         unify_tables,
     )
 
+    if scheduler == "pipelined":
+        from ..integrators.pipelined import (
+            PipelinedState as _State,
+            _run_pipelined as _runner,
+        )
+
+        def _alive(st):
+            from ..integrators.pipelined import PH_DEAD
+            return int(jnp.sum((st.phase != PH_DEAD).astype(jnp.int32)))
+    else:
+        _State, _runner = PersistentState, _run_persistent
+
+        def _alive(st):
+            return int(jnp.sum(st.alive.astype(jnp.int32)))
+
     w, h = scene.camera.resolution
     n_total = w * h * spp
     ndev = mesh.shape["dp"]
     per = (n_total + ndev - 1) // ndev
     n_lanes = min(n_lanes, per)
 
-    st = PersistentState.empty(
+    st = _State.empty(
         n_lanes * ndev,
         stack_depth=None if scene.bvh.layout is None
         else scene.bvh.layout.stack)
@@ -172,7 +192,7 @@ def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
     unified, n_nodes = unify_tables(scene.bvh)
 
     def per_device(scene, st, rayL, next_ray, rend, off, seed, unified):
-        st, rl, nr = _run_persistent(
+        st, rl, nr = _runner(
             scene, st, rayL[0], next_ray[0], seed, rend[0], unified,
             off[0], n_nodes=n_nodes, spp=spp, max_depth=max_depth,
             rr_depth=rr_depth, steps=steps, n_rounds=rounds_per_launch,
@@ -196,7 +216,7 @@ def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
         st, rayLs, cursors = shard_fn(
             scene, st, rayLs, cursors, ray_end, offsets, seed_u, unified
         )
-        n_alive = int(jnp.sum(st.alive.astype(jnp.int32)))
+        n_alive = _alive(st)
         done = bool(jnp.all(cursors >= ray_end))
         if done and n_alive == 0:
             break

@@ -102,6 +102,15 @@ def test_persistent_sharded_matches_single_device(box):
     )
     np.testing.assert_allclose(img8, img1, rtol=1e-4, atol=1e-5)
 
+    # the two-path pipelined machine composes over the mesh identically
+    img8p = np.asarray(
+        render_persistent_sharded(box, mesh, spp=2, max_depth=3,
+                                  n_lanes=64, steps=8,
+                                  rounds_per_launch=4, seed=3,
+                                  scheduler="pipelined")
+    )
+    np.testing.assert_allclose(img8p, img1, rtol=1e-4, atol=1e-5)
+
 
 def test_sharded_replay_grad_matches_single_device(box):
     """Multi-chip record+replay fwd+bwd == single-device replay grads."""
