@@ -527,6 +527,7 @@ def render_pipelined(scene: Scene, seed: int = 0, spp: int = 16,
 
 def _flush_record_pipelined(st: PipelinedState, occm, r_prim, r_u, r_v,
                             glob, idx0):
+    from .replay import _prim_encode
     """Flush RETIREd slots' packed record rows into the frame-sized glob
     (one (N, D, 4) scatter per slot per round; layout identical to
     replay._run_record_full — prim bitcast f32, occl as 0/1 unpacked from
@@ -541,7 +542,7 @@ def _flush_record_pipelined(st: PipelinedState, occm, r_prim, r_u, r_v,
         occf = ((words >> (colD % 32)[None, :]) & 1).astype(jnp.float32)
         packed = jnp.stack(
             [
-                jax.lax.bitcast_convert_type(r_prim[:, p], jnp.float32),
+                _prim_encode(r_prim[:, p]),
                 r_u[:, p],
                 r_v[:, p],
                 occf,
@@ -611,7 +612,7 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
     """record_full on the two-path pipelined machine — same PathRecord
     (bit-equal: same rays, same RNG dims, same flush layout), recorded with
     the idle-filling scheduler.  Drop-in for replay.record_full."""
-    from .replay import PathRecord
+    from .replay import PathRecord, _prim_decode, _prim_encode
 
     n_lanes = min(n_lanes, max(n_rays // 2, 1))
     rows = max(pad_to or n_rays, n_rays)
@@ -623,10 +624,10 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
     r_u = jnp.zeros((n_lanes, 2, max_depth), jnp.float32)
     r_v = jnp.zeros((n_lanes, 2, max_depth), jnp.float32)
     glob = jnp.tile(
-        jnp.array(
-            [jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32),
-             0.0, 0.0, 0.0], jnp.float32,
-        ),
+        jnp.concatenate([
+            _prim_encode(jnp.full((1,), -1, jnp.int32)),
+            jnp.zeros((3,), jnp.float32),
+        ]),
         (rows + 1, max_depth, 1),
     )
     next_ray = jnp.zeros((), jnp.uint32)
@@ -644,7 +645,7 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
             break
     glob = glob[:rows]
     return PathRecord(
-        prim=jax.lax.bitcast_convert_type(glob[:, :, 0], jnp.int32),
+        prim=_prim_decode(glob[:, :, 0]),
         u=glob[:, :, 1],
         v=glob[:, :, 2],
         occl=glob[:, :, 3] != 0.0,

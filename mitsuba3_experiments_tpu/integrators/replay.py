@@ -51,6 +51,26 @@ from .wavefront import _rand
 from . import persistent as pp
 
 
+def _prim_encode(prim):
+    """int32 prim id -> f32 whose BIT PATTERN is a normal float.
+
+    Raw bitcast prim ids are subnormal patterns (ids < 2^23) and the -1
+    miss marker is a NaN payload — the chip's float datapath flushed /
+    canonicalized a fraction of flushed rows in round 3 (found by the
+    pipelined recorder's cross-check: prim channels diverged on 0.77% of
+    flagship rays while u/v/occl matched).  (prim+1) | 0x40000000 maps
+    every id (and -1 -> 0) into [2.0, 4.0)-ish normal floats, immune to
+    flush-to-zero and NaN canonicalization, for face counts < ~10^9."""
+    return jax.lax.bitcast_convert_type(
+        (prim + 1) | jnp.int32(0x40000000), jnp.float32
+    )
+
+
+def _prim_decode(f):
+    return (jax.lax.bitcast_convert_type(f, jnp.int32)
+            & jnp.int32(0x3FFFFFFF)) - 1
+
+
 @jstruct
 class PathRecord:
     """Per-(lane, depth) traced-path facts the replay cannot reconstruct."""
@@ -218,7 +238,7 @@ def _run_record_full(scene: Scene, st: pp.PersistentState, loc: PathRecord,
         dst = jnp.where(flush, st.idx - jnp.uint32(idx0), jnp.uint32(n_pad))
         packed = jnp.stack(
             [
-                jax.lax.bitcast_convert_type(loc.prim, jnp.float32),
+                _prim_encode(loc.prim),
                 loc.u,
                 loc.v,
                 loc.occl.astype(jnp.float32),
@@ -285,18 +305,13 @@ def record_full(scene: Scene, seed, n_rays: int, *, spp: int,
         n_lanes, stack_depth=None if scene.bvh.layout is None
         else scene.bvh.layout.stack)
     loc = PathRecord.empty(n_lanes, max_depth)
-    # packed global record (+1 dummy flush row); prim=-1 miss rows are
-    # all-bits-one floats in channel 0
+    # packed global record (+1 dummy flush row); channel 0 carries
+    # _prim_encode'd ids (normal-float bit patterns; see _prim_encode)
     glob = jnp.tile(
-        jnp.array(
-            [
-                jax.lax.bitcast_convert_type(
-                    jnp.int32(-1), jnp.float32
-                ),
-                0.0, 0.0, 0.0,
-            ],
-            jnp.float32,
-        ),
+        jnp.concatenate([
+            _prim_encode(jnp.full((1,), -1, jnp.int32)),
+            jnp.zeros((3,), jnp.float32),
+        ]),
         (rows + 1, max_depth, 1),
     )
     sh_depth = jnp.ones((n_lanes,), jnp.int32)
@@ -315,7 +330,7 @@ def record_full(scene: Scene, seed, n_rays: int, *, spp: int,
             break
     glob = glob[:rows]
     return PathRecord(
-        prim=jax.lax.bitcast_convert_type(glob[:, :, 0], jnp.int32),
+        prim=_prim_decode(glob[:, :, 0]),
         u=glob[:, :, 1],
         v=glob[:, :, 2],
         occl=glob[:, :, 3] != 0.0,
