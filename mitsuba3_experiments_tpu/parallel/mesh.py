@@ -354,10 +354,10 @@ def sharded_replay_grad(scene, params, target, seed, mesh: Mesh, *,
         lanes * ndev, stack_depth=None if scene.bvh.layout is None
         else scene.bvh.layout.stack)
     loc = rp.PathRecord.empty(lanes * ndev, D)
-    miss_row = jnp.array(
-        [jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32),
-         0.0, 0.0, 0.0], jnp.float32,
-    )
+    miss_row = jnp.concatenate([
+        rp._prim_encode(jnp.full((1,), -1, jnp.int32)),
+        jnp.zeros((3,), jnp.float32),
+    ])
     glob = jnp.tile(miss_row, (ndev, rows + 1, D, 1))
     sh_depth = jnp.ones((lanes * ndev,), jnp.int32)
     cursors = starts
@@ -371,7 +371,7 @@ def sharded_replay_grad(scene, params, target, seed, mesh: Mesh, *,
             break
     glob = glob[:, :rows]  # drop the dummy flush row
     rec = rp.PathRecord(
-        prim=jax.lax.bitcast_convert_type(glob[..., 0], jnp.int32),
+        prim=rp._prim_decode(glob[..., 0]),
         u=glob[..., 1], v=glob[..., 2], occl=glob[..., 3] != 0.0,
     )  # (ndev, rows, D) fields, device-sharded on axis 0 below
 
