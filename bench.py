@@ -35,8 +35,12 @@ def _ladder():
         if k in os.environ:
             env[k.split("_", 1)[1].lower()] = cast(os.environ[k])
     base = [
-        dict(res="1280x720", spp=4, depth=8, tris=2_000_000, chunk=768),
-        dict(res="640x360", spp=2, depth=6, tris=500_000, chunk=768),
+        # sched/steps: the round-4 adopted two-path pipelined scheduler at
+        # its measured optimum (BENCH.md: 284.1k vs 246.3k rays/s fwd)
+        dict(res="1280x720", spp=4, depth=8, tris=2_000_000, chunk=768,
+             sched="pipelined", steps=32),
+        dict(res="640x360", spp=2, depth=6, tris=500_000, chunk=768,
+             sched="pipelined", steps=32),
         # last-resort rung: the round-1 lockstep path, whose tiny program is
         # always warm in .jax_cache (a cold persistent compile at a fresh
         # lane count can exceed any deadline through the axon relay)
@@ -56,7 +60,8 @@ def _d65_rung():
     if os.environ.get("BENCH_SKIP_D65") == "1" or \
             os.environ.get("BENCH_SMALL") == "1":
         return None
-    return dict(res="1280x720", spp=4, depth=65, tris=2_000_000, chunk=768)
+    return dict(res="1280x720", spp=4, depth=65, tris=2_000_000, chunk=768,
+                sched="pipelined", steps=32)
 
 
 def _run_cfg(cfg, deadline):
