@@ -653,21 +653,109 @@ def replay_grads_sorted(scene: Scene, params: dict, update_fn, target,
     return acc
 
 
+@partial(
+    jax.jit,
+    static_argnames=("update_fn", "spp", "max_depth", "rr_depth",
+                     "rfilter", "n_steps"),
+    donate_argnums=(2,),
+)
+def _replay_mse_run(scene, params, acc, target, rec, orders, seed,
+                    ray_end, *, update_fn, spp: int, max_depth: int,
+                    rr_depth: int, rfilter: str, n_steps: int):
+    """One run of whole chunks through the per-chunk-MSE grad at a
+    truncated scan length (replay_grads_trunc)."""
+    w, h = scene.camera.resolution
+
+    def one(acc, oj):
+        def loss(p):
+            s = update_fn(scene, p)
+            L, pos, act0 = replay_radiance(
+                s, jax.tree_util.tree_map(lambda a: a[oj], rec), seed, 0,
+                spp=spp, max_depth=max_depth, rr_depth=rr_depth,
+                ray_end=ray_end, idx=oj, n_steps=n_steps,
+            )
+            film = filmlib.put(
+                filmlib.new_film(w, h), pos,
+                jnp.where(jnp.isfinite(L), L, 0.0), active=act0,
+                rfilter=rfilter,
+            )
+            img = filmlib.develop(film)
+            msk = (film[..., 3] > 0.0)[..., None]
+            return jnp.sum(jnp.where(msk, (img - target) ** 2, 0.0))
+
+        g = jax.grad(loss)(params)
+        return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+    acc, _ = jax.lax.scan(one, acc, orders)
+    return acc
+
+
+def replay_grads_trunc(scene: Scene, params: dict, update_fn, target,
+                       seed, rec: PathRecord, n_rays: int, *, chunk: int,
+                       spp: int, max_depth: int, rr_depth: int,
+                       rfilter: str = "box"):
+    """ONE-pass per-chunk-truncated replay — dominates both prior modes.
+
+    replay_grads_full pays one grad pass but scans every chunk to the full
+    max_depth; replay_grads_sorted truncates per chunk but needs TWO
+    passes (forward film + adjoint) because row sorting breaks the
+    pixel partition.  This keeps rows in natural order (chunks stay
+    pixel-disjoint, so the per-chunk-MSE decomposition of the one-pass
+    grad remains exact for the box filter), computes each chunk's depth
+    class from its own longest recorded path (path lengths correlate
+    spatially, so chunk maxima sit far below max_depth on deep specs),
+    and batches chunks CLASS-SORTED into ascending pow2-sized runs (sizes
+    fixed by n_chunks -> stable compiled shapes, as the sorted mode)."""
+    rows = rec.prim.shape[0]
+    assert rows % chunk == 0, (rows, chunk)
+    D = rec.prim.shape[1]
+    n_chunks = rows // chunk
+    lens = path_lengths(rec)
+    cmax = jax.device_get(jnp.max(lens.reshape(n_chunks, chunk), axis=1))
+    classes = _depth_classes(D)
+    cls = [min(c for c in classes if c >= int(mx)) for mx in cmax]
+    order_c = sorted(range(n_chunks), key=lambda j: -cls[j])
+
+    sizes = []
+    rem, s = n_chunks, 1
+    while rem > 2 * s:
+        sizes.append(s)
+        rem -= s
+        s *= 2
+    sizes.append(rem)
+
+    row_ids = jnp.arange(rows, dtype=jnp.uint32).reshape(n_chunks, chunk)
+    acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+    kw = dict(update_fn=update_fn, spp=spp, max_depth=max_depth,
+              rr_depth=rr_depth, rfilter=rfilter)
+    off = 0
+    for sz in sizes:
+        js = order_c[off:off + sz]
+        off += sz
+        orders = row_ids[jnp.asarray(js, jnp.int32)]
+        acc = _replay_mse_run(
+            scene, params, acc, target, rec, orders, jnp.uint32(seed),
+            jnp.uint32(n_rays), n_steps=cls[js[0]], **kw,
+        )
+    return acc
+
+
 def replay_grads(scene: Scene, params: dict, update_fn, target, seed,
                  rec: PathRecord, n_rays: int, *, chunk: int, spp: int,
                  max_depth: int, rr_depth: int, rfilter: str = "box",
                  mode: str = "auto"):
     """Production fwd+bwd replay dispatcher.
 
-    mode='auto' picks by workload depth: 'sorted' when max_depth >= 16
-    (deep specs like the reference bedroom's 65 — RR kills most paths at
-    5-8 bounces, so the uniform scan wastes most of its steps; chip probe:
-    sorted 113.6k vs full 64.4k rays/s at depth 65) and 'full' for shallow
-    scans where one uniform fused scan has nothing to skip (full 187.8k vs
-    per-chunk sorted 160.5k at depth 8; see BENCH.md round 4)."""
+    mode='auto' -> 'trunc' (one grad pass with per-chunk truncated scans
+    — subsumes 'full', which it equals when every chunk holds a
+    max-length path, and beats the two-pass 'sorted' at depth 65).
+    'full' / 'sorted' remain for A/B (chip history in BENCH.md round 4:
+    at depth 65 sorted 113.6k vs full 64.4k rays/s; at depth 8 full
+    188.4k vs sorted 159.1k)."""
     if mode == "auto":
-        mode = "sorted" if max_depth >= 16 else "full"
-    fn = replay_grads_sorted if mode == "sorted" else replay_grads_full
+        mode = "trunc"
+    fn = {"sorted": replay_grads_sorted, "full": replay_grads_full,
+          "trunc": replay_grads_trunc}[mode]
     return fn(
         scene, params, update_fn, target, seed, rec, n_rays, chunk=chunk,
         spp=spp, max_depth=max_depth, rr_depth=rr_depth, rfilter=rfilter,

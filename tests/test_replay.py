@@ -269,3 +269,43 @@ def test_replay_grads_sorted_matches_full(bvh_scene):
                 np.asarray(g_sort[k]), a, rtol=1e-3,
                 atol=1e-4 * max(1e-9, np.abs(a).max()),
             )
+
+
+def test_replay_grads_trunc_matches_full(bvh_scene):
+    """One-pass per-chunk-truncated replay == uniform full replay: chunks
+    stay pixel-disjoint (per-chunk MSE decomposition holds) and the
+    per-chunk class truncation is exact by path_lengths construction."""
+    from mitsuba3_experiments_tpu.integrators.replay import (
+        record_full,
+        replay_grads_full,
+        replay_grads_trunc,
+    )
+
+    scene = bvh_scene
+    w, h = scene.camera.resolution
+    spp, depth = 2, 12  # deep spec + RR-short paths -> truncation active
+    n = w * h * spp
+    pad = ((n + 127) // 128) * 128
+    rec = record_full(
+        scene, 3, n, spp=spp, max_depth=depth, rr_depth=3, steps=8,
+        rounds_per_launch=4, n_lanes=256, pad_to=pad,
+    )
+    target = jnp.asarray(np.asarray(render(
+        scene, PathIntegrator(max_depth=depth), seed=9, spp=spp,
+        rfilter="box",
+    )))
+    params = {
+        "materials.base_color": scene.materials.base_color,
+        "emitters.radiance": scene.emitters.radiance,
+    }
+    kw = dict(chunk=128, spp=spp, max_depth=depth, rr_depth=3,
+              rfilter="box")
+    g_full = replay_grads_full(
+        scene, params, update, target, 3, rec, n, **kw)
+    g_tr = replay_grads_trunc(
+        scene, params, update, target, 3, rec, n, **kw)
+    for k in params:
+        a, b = np.asarray(g_full[k]), np.asarray(g_tr[k])
+        assert np.abs(a).max() > 0
+        np.testing.assert_allclose(
+            b, a, rtol=1e-4, atol=1e-5 * max(1e-9, np.abs(a).max()))
