@@ -287,7 +287,8 @@ def sharded_replay_grad(scene, params, target, seed, mesh: Mesh, *,
                         max_depth: int, rr_depth: int = 4,
                         rfilter: str = "box", steps: int = 16,
                         rounds_per_launch: int = 8, ray_end=None,
-                        chunk: int | None = None):
+                        chunk: int | None = None,
+                        scheduler: str = "persistent"):
     """Multi-chip fwd+bwd on the production path (VERDICT r3 #4): each
     device owns a contiguous slice of the ray stream and RECORDS it with
     the refill+flush persistent recorder (integrators/replay.py::
@@ -307,7 +308,11 @@ def sharded_replay_grad(scene, params, target, seed, mesh: Mesh, *,
     Returns (loss, grads), both replicated.  `ray_end` bounds the global
     ray range [idx0, ray_end); default records n_lanes*ndev rays (one
     lane per ray, back-compat with the round-2 signature).  `chunk` is
-    the per-device replay chunk (default: the whole device slice)."""
+    the per-device replay chunk (default: the whole device slice).
+    scheduler="pipelined" records with the two-path machine
+    (integrators/pipelined.py — the round-4 production recorder);
+    PathRecords are bit-equal either way."""
+    from ..integrators import pipelined as pl
     from ..integrators import replay as rp
     from ..integrators.persistent import PersistentState, unify_tables
 
@@ -330,45 +335,82 @@ def sharded_replay_grad(scene, params, target, seed, mesh: Mesh, *,
     ends = jnp.minimum(starts + jnp.uint32(per), jnp.uint32(ray_end))
 
     # ------------------- record (refill + packed flush) -------------------
-    def dev_record(scene, st, loc, glob, sh_depth, next_ray, start, end,
-                   seed, unified):
-        st, loc, g, sh_depth, nr = rp._run_record_full(
-            scene, st, loc, glob[0], sh_depth, next_ray[0], seed, end[0],
-            unified, start[0], n_nodes=n_nodes, max_depth=max_depth,
-            rr_depth=rr_depth, steps=steps, n_rounds=rounds_per_launch,
-            spp=spp,
-        )
-        return st, loc, g[None], sh_depth, nr[None]
-
-    rec_fn = jax.jit(
-        jax.shard_map(
-            dev_record, mesh=mesh,
-            in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
-                      P("dp"), P("dp"), P(), P()),
-            out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
-            check_vma=False,
-        ),
-        donate_argnums=(1, 2, 3, 4, 5),
-    )
-    st = PersistentState.empty(
-        lanes * ndev, stack_depth=None if scene.bvh.layout is None
-        else scene.bvh.layout.stack)
-    loc = rp.PathRecord.empty(lanes * ndev, D)
+    sd = None if scene.bvh.layout is None else scene.bvh.layout.stack
     miss_row = jnp.concatenate([
         rp._prim_encode(jnp.full((1,), -1, jnp.int32)),
         jnp.zeros((3,), jnp.float32),
     ])
     glob = jnp.tile(miss_row, (ndev, rows + 1, D, 1))
-    sh_depth = jnp.ones((lanes * ndev,), jnp.int32)
     cursors = starts
-    while True:
-        st, loc, glob, sh_depth, cursors = rec_fn(
-            scene, st, loc, glob, sh_depth, cursors, starts, ends,
-            seed_u, unified,
+    if scheduler == "pipelined":
+        def dev_record2(scene, st, occm, r_prim, r_u, r_v, glob, next_ray,
+                        start, end, seed, unified):
+            st, occm, r_prim, r_u, r_v, g, nr = pl._run_record_pipelined(
+                scene, st, occm, r_prim, r_u, r_v, glob[0], next_ray[0],
+                seed, end[0], unified, start[0], n_nodes=n_nodes,
+                spp=spp, max_depth=max_depth, rr_depth=rr_depth,
+                steps=steps, n_rounds=rounds_per_launch,
+            )
+            return st, occm, r_prim, r_u, r_v, g[None], nr[None]
+
+        rec_fn = jax.jit(
+            jax.shard_map(
+                dev_record2, mesh=mesh,
+                in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"),
+                          P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                          P(), P()),
+                out_specs=(P("dp"),) * 7,
+                check_vma=False,
+            ),
+            donate_argnums=(1, 2, 3, 4, 5, 6, 7),
         )
-        n_alive = int(jnp.sum(st.alive.astype(jnp.int32)))
-        if n_alive == 0 and bool(jnp.all(cursors >= ends)):
-            break
+        st = pl.PipelinedState.empty(lanes * ndev, stack_depth=sd)
+        W = (max_depth + 31) // 32
+        occm = jnp.zeros((lanes * ndev, 2, W), jnp.uint32)
+        r_prim = jnp.full((lanes * ndev, 2, D), -1, jnp.int32)
+        r_u = jnp.zeros((lanes * ndev, 2, D), jnp.float32)
+        r_v = jnp.zeros((lanes * ndev, 2, D), jnp.float32)
+        while True:
+            st, occm, r_prim, r_u, r_v, glob, cursors = rec_fn(
+                scene, st, occm, r_prim, r_u, r_v, glob, cursors, starts,
+                ends, seed_u, unified,
+            )
+            n_alive = int(jnp.sum(
+                (st.phase != pl.PH_DEAD).astype(jnp.int32)))
+            if n_alive == 0 and bool(jnp.all(cursors >= ends)):
+                break
+    else:
+        def dev_record(scene, st, loc, glob, sh_depth, next_ray, start,
+                       end, seed, unified):
+            st, loc, g, sh_depth, nr = rp._run_record_full(
+                scene, st, loc, glob[0], sh_depth, next_ray[0], seed,
+                end[0], unified, start[0], n_nodes=n_nodes,
+                max_depth=max_depth, rr_depth=rr_depth, steps=steps,
+                n_rounds=rounds_per_launch, spp=spp,
+            )
+            return st, loc, g[None], sh_depth, nr[None]
+
+        rec_fn = jax.jit(
+            jax.shard_map(
+                dev_record, mesh=mesh,
+                in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"),
+                          P("dp"), P("dp"), P("dp"), P(), P()),
+                out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+                check_vma=False,
+            ),
+            donate_argnums=(1, 2, 3, 4, 5),
+        )
+        st = PersistentState.empty(lanes * ndev, stack_depth=sd)
+        loc = rp.PathRecord.empty(lanes * ndev, D)
+        sh_depth = jnp.ones((lanes * ndev,), jnp.int32)
+        while True:
+            st, loc, glob, sh_depth, cursors = rec_fn(
+                scene, st, loc, glob, sh_depth, cursors, starts, ends,
+                seed_u, unified,
+            )
+            n_alive = int(jnp.sum(st.alive.astype(jnp.int32)))
+            if n_alive == 0 and bool(jnp.all(cursors >= ends)):
+                break
     glob = glob[:, :rows]  # drop the dummy flush row
     rec = rp.PathRecord(
         prim=rp._prim_decode(glob[..., 0]),

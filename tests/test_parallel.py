@@ -163,3 +163,16 @@ def test_sharded_replay_grad_matches_single_device(box):
         a, b = np.asarray(g1[k]), np.asarray(g8b[k])
         np.testing.assert_allclose(b, a, rtol=2e-3,
                                    atol=2e-4 * max(1e-9, np.abs(a).max()))
+
+    # the pipelined recorder under shard_map: same loss + grads again
+    loss3, g8c = sharded_replay_grad(
+        box, params, target, 4, mesh, idx0=0, n_lanes=half, spp=spp,
+        max_depth=depth, rr_depth=2, rfilter="box", steps=8,
+        rounds_per_launch=4, ray_end=n, chunk=half,
+        scheduler="pipelined",
+    )
+    np.testing.assert_allclose(float(loss3), float(loss), rtol=1e-4)
+    for k in params:
+        a, b = np.asarray(g8b[k]), np.asarray(g8c[k])
+        np.testing.assert_allclose(b, a, rtol=1e-5,
+                                   atol=1e-6 * max(1e-9, np.abs(a).max()))
