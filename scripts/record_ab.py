@@ -44,14 +44,33 @@ def main():
     chunk = 131072
     pad = ((n_rays + chunk - 1) // chunk) * chunk
 
+    @jax.jit
+    def _checksum(rec):
+        """Position-sensitive wrapped-uint32 digests per field — lets the
+        d65 A/B compare records without holding both (two depth-65
+        PathRecords + the packed glob exceed HBM)."""
+        n, d = rec.prim.shape
+        mix = (jnp.arange(n, dtype=jnp.uint32)[:, None] * jnp.uint32(2654435761)
+               + jnp.arange(d, dtype=jnp.uint32)[None, :] * jnp.uint32(40503))
+        out = {}
+        for f in ("prim", "u", "v", "occl"):
+            a = getattr(rec, f)
+            bits = (a.astype(jnp.uint32) if f in ("prim", "occl")
+                    else jax.lax.bitcast_convert_type(a, jnp.uint32))
+            out[f] = jnp.sum((bits ^ mix).astype(jnp.uint32))
+        return out
+
     results = {"depth": depth}
-    recs = {}
+    sums = {}
+    rec = None
     for name, fn, stp in (("persistent", record_full, steps_p),
                           ("pipelined", record_full_pipelined, steps_2)):
         kw = dict(spp=spp, max_depth=depth, rr_depth=4, steps=stp,
                   rounds_per_launch=32, n_lanes=65536, pad_to=pad)
+        del rec  # free the previous record before allocating the next
         rec = fn(scene, 1, n_rays, **kw)
         jax.block_until_ready(rec.prim)
+        del rec
         t0 = time.perf_counter()
         rec = fn(scene, 1, n_rays, **kw)
         jax.block_until_ready(rec.prim)
@@ -60,15 +79,14 @@ def main():
         print(f"record {name} (steps={stp}): {dt:.2f}s = {rate:.0f} rays/s",
               flush=True)
         results[name] = {"record_s": dt, "rays_s": rate, "steps": stp}
-        recs[name] = rec
+        sums[name] = {k: int(v) for k, v in
+                      jax.device_get(_checksum(rec)).items()}
 
     for f in ("prim", "u", "v", "occl"):
-        a = np.asarray(getattr(recs["persistent"], f))
-        b = np.asarray(getattr(recs["pipelined"], f))
-        neq = int((a != b).sum())
-        print(f"record field {f}: {'EQUAL' if neq == 0 else f'{neq} DIFFS'}",
+        eq = sums["persistent"][f] == sums["pipelined"][f]
+        print(f"record field {f} digest: {'EQUAL' if eq else 'DIFFERS'}",
               flush=True)
-        results[f"eq_{f}"] = neq == 0
+        results[f"eq_{f}"] = eq
 
     # production replay on the winner's record (auto mode)
     diff_params = {
@@ -76,7 +94,7 @@ def main():
         "emitters.radiance": scene.emitters.radiance,
     }
     target = jnp.zeros((h, w, 3), jnp.float32)
-    rec = recs["pipelined"]
+    # `rec` still holds the pipelined record (recorded last)
     kw = dict(chunk=chunk, spp=spp, max_depth=depth, rr_depth=4,
               rfilter="box")
     g = replay_grads(scene, diff_params, update, target, 1, rec, n_rays,
