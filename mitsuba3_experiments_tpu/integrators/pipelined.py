@@ -132,26 +132,39 @@ class PipelinedState:
         )
 
 
-# ---- (N, 2) slot helpers: pure elementwise selects, never gathers ----
+# ---- slot helpers: pure elementwise selects, never gathers ----
+#
+# The hot loop operates on SLOT-MAJOR (2, N, ...) views: state is stored
+# lane-major (N, 2, ...) for natural shard_map lane sharding, but (N, 2)
+# arrays have a 2-wide minor dimension — catastrophic TPU tiling (the
+# vector layout pads minors toward (8, 128); the round-4 census measured
+# the lane-major stepper at 1.44 ms/iter vs the single-path 0.82).  The
+# stepper transposes once per ROUND (streaming copy, ~free) so every
+# per-iteration op runs on (N,)-minor arrays.
+
+def _to_sm(a):
+    """lane-major (N, 2, ...) -> slot-major (2, N, ...)."""
+    return jnp.swapaxes(a, 0, 1)
+
 
 def _sel(a, own):
-    """a[:, own] as an elementwise select."""
+    """Slot-major a[own] as an elementwise select."""
     if a.ndim == 2:
-        return jnp.where(own == 0, a[:, 0], a[:, 1])
-    return jnp.where((own == 0)[:, None], a[:, 0], a[:, 1])
+        return jnp.where(own == 0, a[0], a[1])
+    return jnp.where((own == 0)[:, None], a[0], a[1])
 
 
 def _put(a, own, mask, val):
-    """a[:, own] = val where mask (elementwise)."""
+    """Slot-major a[own] = val where mask (elementwise)."""
     if a.ndim == 2:
         return jnp.stack(
-            [jnp.where(mask & (own == 0), val, a[:, 0]),
-             jnp.where(mask & (own == 1), val, a[:, 1])], axis=1,
+            [jnp.where(mask & (own == 0), val, a[0]),
+             jnp.where(mask & (own == 1), val, a[1])], axis=0,
         )
     m0 = (mask & (own == 0))[:, None]
     m1 = (mask & (own == 1))[:, None]
     return jnp.stack(
-        [jnp.where(m0, val, a[:, 0]), jnp.where(m1, val, a[:, 1])], axis=1,
+        [jnp.where(m0, val, a[0]), jnp.where(m1, val, a[1])], axis=0,
     )
 
 
@@ -168,9 +181,10 @@ def _complete_and_arm(cl, ph, own, L, h_t, h_face, h_u, h_v,
     the round boundary (to catch the final iteration's completion).
     One-shot by construction: completions flip the phase they trigger on.
 
-    `occm` (recorder only, (N, 2, W) uint32): per-slot occlusion BITMASK
-    — bit (sh_depth-1) of the slot's words records whether its NEE shadow
-    ray at that bounce was occluded.  Packed words instead of (N, 2, D)
+    All slot arrays (ph, L, h_*, cl.*) are SLOT-MAJOR (2, N, ...); occm
+    (recorder only) is (2, W, N) uint32 — a per-slot occlusion BITMASK:
+    bit (sh_depth-1) of the slot's words records whether its NEE shadow
+    ray at that bounce was occluded.  Packed words instead of (2, D, N)
     bools keep the stepper carry small (3 words cover depth 65 where the
     single-path recorder streams 65 bool columns per iteration).
     """
@@ -190,11 +204,11 @@ def _complete_and_arm(cl, ph, own, L, h_t, h_face, h_u, h_v,
             jnp.uint32(1) << (bitpos % 32), jnp.uint32(0),
         )
         cols = []
-        for wdx in range(occm.shape[2]):
-            w2 = occm[:, :, wdx]
+        for wdx in range(occm.shape[1]):
+            w2 = occm[:, wdx]
             cols.append(_put(w2, own, sfin & (word == wdx),
                              _sel(w2, own) | v_bit))
-        occm = jnp.stack(cols, axis=2)
+        occm = jnp.stack(cols, axis=1)
     contp = _sel(cl.cont, own)
     ph = _put(ph, own, sfin,
               jnp.where(contp, PH_TRACE_PN, PH_RETIRE))
@@ -241,15 +255,30 @@ def _complete_and_arm(cl, ph, own, L, h_t, h_face, h_u, h_v,
     return out + (occm,) if occm is not None else out
 
 
+def _slot_major_closures(st: PipelinedState):
+    """Transposed (2, N, ...) views of the closure-class fields the
+    scheduler reads every iteration — one streaming copy per round."""
+    from types import SimpleNamespace
+
+    return SimpleNamespace(
+        nee_L=_to_sm(st.nee_L), cont=_to_sm(st.cont),
+        next_o=_to_sm(st.next_o), next_d=_to_sm(st.next_d),
+        qt_o=_to_sm(st.qt_o), qt_d=_to_sm(st.qt_d),
+        qt_maxt=_to_sm(st.qt_maxt), sh_depth=_to_sm(st.sh_depth),
+    )
+
+
 def _stepper(unified, n_nodes: int, st: PipelinedState, k: int, *,
              layout=None, idle_spread: bool = True, occm=None):
     """Advance the engines by at most k iterations, scheduling both slots
     (see module docstring).  The engine body is persistent._engine_step —
     identical traversal math to the single-path stepper.  With `occm`
-    (recorder), returns (state, occm)."""
+    (lane-major (N, 2, W), recorder), returns (state, occm)."""
     lay = layout if layout is not None else DEFAULT_LAYOUT
-    cl = st  # closure-class fields read via the state itself
+    cl = _slot_major_closures(st)
     rec = occm is not None
+    if rec:
+        occm = jnp.transpose(occm, (1, 2, 0))  # -> (2, W, N)
 
     def body(_, carry):
         if rec:
@@ -276,7 +305,8 @@ def _stepper(unified, n_nodes: int, st: PipelinedState, k: int, *,
                tro, trd, cur, sp, stack, t, face, u, v)
         return res + (occm,) if rec else res
 
-    init = (st.phase, st.own, st.L, st.h_t, st.h_face, st.h_u, st.h_v,
+    init = (_to_sm(st.phase), st.own, _to_sm(st.L), _to_sm(st.h_t),
+            _to_sm(st.h_face), _to_sm(st.h_u), _to_sm(st.h_v),
             st.tr_o, st.tr_d, st.tr_cur, st.tr_sp, st.tr_stack, st.tr_t,
             st.tr_face, st.tr_u, st.tr_v)
     if rec:
@@ -285,30 +315,39 @@ def _stepper(unified, n_nodes: int, st: PipelinedState, k: int, *,
     (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, stack, t,
      face, u, v) = fin[:16]
     st = dataclasses.replace(
-        st, phase=ph, own=own, L=L, h_t=h_t, h_face=h_face, h_u=h_u,
-        h_v=h_v, tr_o=tro, tr_d=trd, tr_cur=cur, tr_sp=sp, tr_stack=stack,
+        st, phase=_to_sm(ph), own=own, L=_to_sm(L), h_t=_to_sm(h_t),
+        h_face=_to_sm(h_face), h_u=_to_sm(h_u), h_v=_to_sm(h_v),
+        tr_o=tro, tr_d=trd, tr_cur=cur, tr_sp=sp, tr_stack=stack,
         tr_t=t, tr_face=face, tr_u=u, tr_v=v,
     )
-    return (st, fin[16]) if rec else st
+    if rec:
+        return st, jnp.transpose(fin[16], (2, 0, 1))  # back to (N, 2, W)
+    return st
 
 
 def _finish_round(st: PipelinedState, occm=None):
     """Round-boundary completion catch-up (the stepper handles completions
     at the TOP of each iteration, so the final iteration's completion is
-    still pending here) — pure elementwise, includes re-arming."""
+    still pending here) — pure elementwise, includes re-arming.  occm is
+    lane-major (N, 2, W) as stored."""
     out = _complete_and_arm(
-        st, st.phase, st.own, st.L, st.h_t, st.h_face, st.h_u, st.h_v,
+        _slot_major_closures(st), _to_sm(st.phase), st.own, _to_sm(st.L),
+        _to_sm(st.h_t), _to_sm(st.h_face), _to_sm(st.h_u), _to_sm(st.h_v),
         st.tr_o, st.tr_d, st.tr_cur, st.tr_sp, st.tr_t, st.tr_face,
-        st.tr_u, st.tr_v, occm=occm,
+        st.tr_u, st.tr_v,
+        occm=None if occm is None else jnp.transpose(occm, (1, 2, 0)),
     )
     (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, t, face, u,
      v) = out[:15]
     st = dataclasses.replace(
-        st, phase=ph, own=own, L=L, h_t=h_t, h_face=h_face, h_u=h_u,
-        h_v=h_v, tr_o=tro, tr_d=trd, tr_cur=cur, tr_sp=sp, tr_t=t,
+        st, phase=_to_sm(ph), own=own, L=_to_sm(L), h_t=_to_sm(h_t),
+        h_face=_to_sm(h_face), h_u=_to_sm(h_u), h_v=_to_sm(h_v),
+        tr_o=tro, tr_d=trd, tr_cur=cur, tr_sp=sp, tr_t=t,
         tr_face=face, tr_u=u, tr_v=v,
     )
-    return (st, out[15]) if occm is not None else st
+    if occm is not None:
+        return st, jnp.transpose(out[15], (2, 0, 1))
+    return st
 
 
 def _retire_pipelined(st: PipelinedState, rayL, *, deferred_pad):
