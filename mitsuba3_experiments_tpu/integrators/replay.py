@@ -714,6 +714,16 @@ def replay_grads_trunc(scene: Scene, params: dict, update_fn, target,
     cmax = jax.device_get(jnp.max(lens.reshape(n_chunks, chunk), axis=1))
     classes = _depth_classes(D)
     cls = [min(c for c in classes if c >= int(mx)) for mx in cmax]
+    if all(c == D for c in cls):
+        # nothing to truncate (shallow specs: every chunk holds a
+        # max-length path) — the single fused uniform scan avoids this
+        # path's extra per-run dispatches (chip A/B at depth 8: 4.50 s vs
+        # 4.93 s, BENCH.md round 4)
+        return replay_grads_full(
+            scene, params, update_fn, target, seed, rec, n_rays,
+            chunk=chunk, spp=spp, max_depth=max_depth, rr_depth=rr_depth,
+            rfilter=rfilter,
+        )
     order_c = sorted(range(n_chunks), key=lambda j: -cls[j])
 
     sizes = []
