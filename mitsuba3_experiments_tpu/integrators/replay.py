@@ -756,14 +756,18 @@ def replay_grads(scene: Scene, params: dict, update_fn, target, seed,
                  mode: str = "auto"):
     """Production fwd+bwd replay dispatcher.
 
-    mode='auto' -> 'trunc' (one grad pass with per-chunk truncated scans
-    — subsumes 'full', which it equals when every chunk holds a
-    max-length path, and beats the two-pass 'sorted' at depth 65).
-    'full' / 'sorted' remain for A/B (chip history in BENCH.md round 4:
-    at depth 65 sorted 113.6k vs full 64.4k rays/s; at depth 8 full
-    188.4k vs sorted 159.1k)."""
+    mode='auto': 'sorted' when max_depth >= 16 (deep specs like the
+    reference bedroom's 65 — RR kills most paths early and row-level
+    sorting lets buckets scan shallow; chip: sorted replay 14.2 s vs full
+    37.3 s at depth 65), else 'full' (one fused uniform scan; chip: 4.50 s
+    vs sorted 8.11 s at depth 8).  'trunc' (one-pass per-chunk truncation)
+    is kept as a measured NEGATIVE for deep specs: per-chunk maxima are
+    extreme-value statistics, so at depth 65 every 131k-ray chunk contains
+    a >32-bounce path and truncation degenerates to 'full' (chip: 37.34 s
+    == full) — length homogeneity requires the row sort, which in turn
+    forces sorted's two-pass adjoint decomposition."""
     if mode == "auto":
-        mode = "trunc"
+        mode = "sorted" if max_depth >= 16 else "full"
     fn = {"sorted": replay_grads_sorted, "full": replay_grads_full,
           "trunc": replay_grads_trunc}[mode]
     return fn(
