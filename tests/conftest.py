@@ -25,3 +25,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng_np():
     return np.random.default_rng(0)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound in-process compile-cache memory: the full suite compiles
+    hundreds of programs and the XLA CPU compiler has twice segfaulted
+    (host-dependent) compiling test_spectral's program at ~48% of the
+    suite with every prior module's executables still resident.  Each
+    module's tests share compilations; across modules they rarely do."""
+    yield
+    jax.clear_caches()
