@@ -307,14 +307,29 @@ def worker(cfg):
             rounds_per_launch=cfg.get("rpl", 32),
         )
 
+        # sorted replay needs the forward film for its adjoint; the
+        # pipelined recorder produces it as a free byproduct
+        # (return_film=True), eliminating the sorted mode's entire
+        # forward bucketed pass (integrators/pipelined.py)
+        sorted_active = replay_mode == "sorted" or (
+            replay_mode == "auto" and depth >= 16
+        )
+        rec_film = sorted_active and sched == "pipelined"
+
         def fwd_bwd(seed):
-            rec = _record(
-                scene, seed, n_rays, n_lanes=lanes, pad_to=pad, **rkw,
-            )
+            if rec_film:
+                rec, film = _record(
+                    scene, seed, n_rays, n_lanes=lanes, pad_to=pad,
+                    return_film=True, rfilter="box", **rkw,
+                )
+            else:
+                rec, film = _record(
+                    scene, seed, n_rays, n_lanes=lanes, pad_to=pad, **rkw,
+                ), None
             return replay_grads(
                 scene, diff_params, update, target, seed, rec, n_rays,
                 chunk=rchunk, spp=spp, max_depth=depth, rr_depth=4,
-                rfilter="box", mode=replay_mode,
+                rfilter="box", mode=replay_mode, film=film,
             )
 
         g = fwd_bwd(0)

@@ -565,12 +565,17 @@ def render_pipelined(scene: Scene, seed: int = 0, spp: int = 16,
 # ------------------------- pipelined recorder -------------------------
 
 def _flush_record_pipelined(st: PipelinedState, occm, r_prim, r_u, r_v,
-                            glob, idx0):
+                            glob, rayL, idx0):
     from .replay import _prim_encode
     """Flush RETIREd slots' packed record rows into the frame-sized glob
     (one (N, D, 4) scatter per slot per round; layout identical to
     replay._run_record_full — prim bitcast f32, occl as 0/1 unpacked from
-    the bitmask).  Clears the slot to PH_DEAD for refill."""
+    the bitmask).  Also flushes the slot's final radiance into `rayL` —
+    the recorder runs the full forward machine, so the forward film is a
+    FREE byproduct of recording (splat_deferred after the loop), which
+    lets replay_grads_sorted skip its entire forward bucketed pass (the
+    film it would recompute is bit-identical: same rays, same RNG dims,
+    same shading core).  Clears the slot to PH_DEAD for refill."""
     D = r_prim.shape[2]
     n_pad = glob.shape[0] - 1
     colD = jnp.arange(D, dtype=jnp.uint32)
@@ -591,6 +596,8 @@ def _flush_record_pipelined(st: PipelinedState, occm, r_prim, r_u, r_v,
         dst = jnp.where(ret, st.idx[:, p] - jnp.uint32(idx0),
                         jnp.uint32(n_pad))
         glob = glob.at[dst].set(packed)
+        Lp = st.L[:, p]
+        rayL = rayL.at[dst].set(jnp.where(jnp.isfinite(Lp), Lp, 0.0))
         st = dataclasses.replace(
             st, phase=st.phase.at[:, p].set(
                 jnp.where(ret, PH_DEAD, st.phase[:, p])),
@@ -602,17 +609,17 @@ def _flush_record_pipelined(st: PipelinedState, occm, r_prim, r_u, r_v,
         r_v = r_v.at[:, p].set(jnp.where(r3, 0.0, r_v[:, p]))
         occm = occm.at[:, p].set(
             jnp.where(r3, jnp.uint32(0), occm[:, p]))
-    return st, occm, r_prim, r_u, r_v, glob
+    return st, occm, r_prim, r_u, r_v, glob, rayL
 
 
 @partial(
     jax.jit,
     static_argnames=("n_nodes", "spp", "max_depth", "rr_depth", "steps",
                      "n_rounds", "idle_spread"),
-    donate_argnums=(1, 2, 3, 4, 5, 6, 7),
+    donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8),
 )
 def _run_record_pipelined(scene: Scene, st: PipelinedState, occm, r_prim,
-                          r_u, r_v, glob, next_ray, seed, ray_end,
+                          r_u, r_v, glob, rayL, next_ray, seed, ray_end,
                           unified, idx0=0, *, n_nodes: int, spp: int,
                           max_depth: int, rr_depth: int, steps: int,
                           n_rounds: int, idle_spread: bool = True):
@@ -621,10 +628,10 @@ def _run_record_pipelined(scene: Scene, st: PipelinedState, occm, r_prim,
     layout = scene.bvh.layout
 
     def one_round(carry, _):
-        st, occm, r_prim, r_u, r_v, glob, next_ray = carry
+        st, occm, r_prim, r_u, r_v, glob, rayL, next_ray = carry
         st, occm = _finish_round(st, occm=occm)
-        st, occm, r_prim, r_u, r_v, glob = _flush_record_pipelined(
-            st, occm, r_prim, r_u, r_v, glob, idx0,
+        st, occm, r_prim, r_u, r_v, glob, rayL = _flush_record_pipelined(
+            st, occm, r_prim, r_u, r_v, glob, rayL, idx0,
         )
         st, (r_prim, r_u, r_v) = _transition_pipelined(
             scene, st, seed, max_depth=max_depth, rr_depth=rr_depth,
@@ -635,22 +642,31 @@ def _run_record_pipelined(scene: Scene, st: PipelinedState, occm, r_prim,
         )
         st, occm = _stepper(unified, n_nodes, st, steps, layout=layout,
                             idle_spread=idle_spread, occm=occm)
-        return (st, occm, r_prim, r_u, r_v, glob, next_ray), None
+        return (st, occm, r_prim, r_u, r_v, glob, rayL, next_ray), None
 
-    (st, occm, r_prim, r_u, r_v, glob, next_ray), _ = jax.lax.scan(
-        one_round, (st, occm, r_prim, r_u, r_v, glob, next_ray), None,
-        length=n_rounds,
+    (st, occm, r_prim, r_u, r_v, glob, rayL, next_ray), _ = jax.lax.scan(
+        one_round, (st, occm, r_prim, r_u, r_v, glob, rayL, next_ray),
+        None, length=n_rounds,
     )
-    return st, occm, r_prim, r_u, r_v, glob, next_ray
+    return st, occm, r_prim, r_u, r_v, glob, rayL, next_ray
 
 
 def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
                           max_depth: int, rr_depth: int, steps: int = 16,
                           rounds_per_launch: int = 8, n_lanes: int = 32768,
-                          pad_to: int | None = None):
+                          pad_to: int | None = None,
+                          return_film: bool = False,
+                          rfilter: str = "box"):
     """record_full on the two-path pipelined machine — same PathRecord
     (bit-equal: same rays, same RNG dims, same flush layout), recorded with
-    the idle-filling scheduler.  Drop-in for replay.record_full."""
+    the idle-filling scheduler.  Drop-in for replay.record_full.
+
+    return_film=True additionally returns the forward film (weight channel
+    included, splat with `rfilter`): the recorder runs the full forward
+    shading machine, so each retired slot's radiance is flushed alongside
+    its record rows and one deferred splat reconstructs the frame — the
+    film replay_grads_sorted's forward pass would otherwise recompute from
+    the record (same rays, same RNG dims -> identical), for free."""
     from .replay import PathRecord, _prim_decode, _prim_encode
 
     n_lanes = min(n_lanes, max(n_rays // 2, 1))
@@ -669,13 +685,15 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
         ]),
         (rows + 1, max_depth, 1),
     )
+    rayL = jnp.zeros((rows + 1, 3), m.Float)
     next_ray = jnp.zeros((), jnp.uint32)
     seed_u = jnp.uint32(seed)
     unified, n_nodes = unify_tables(scene.bvh)
     while True:
-        st, occm, r_prim, r_u, r_v, glob, next_ray = _run_record_pipelined(
-            scene, st, occm, r_prim, r_u, r_v, glob, next_ray, seed_u,
-            jnp.uint32(n_rays), unified, n_nodes=n_nodes, spp=spp,
+        (st, occm, r_prim, r_u, r_v, glob, rayL,
+         next_ray) = _run_record_pipelined(
+            scene, st, occm, r_prim, r_u, r_v, glob, rayL, next_ray,
+            seed_u, jnp.uint32(n_rays), unified, n_nodes=n_nodes, spp=spp,
             max_depth=max_depth, rr_depth=rr_depth, steps=steps,
             n_rounds=rounds_per_launch,
         )
@@ -683,9 +701,17 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
         if int(cursor) >= n_rays and int(n_alive) == 0:
             break
     glob = glob[:rows]
-    return PathRecord(
+    rec = PathRecord(
         prim=_prim_decode(glob[:, :, 0]),
         u=glob[:, :, 1],
         v=glob[:, :, 2],
         occl=glob[:, :, 3] != 0.0,
     )
+    if not return_film:
+        return rec
+    w, h = scene.camera.resolution
+    film = splat_deferred(
+        scene.camera, seed_u, rayL[:n_rays], jnp.uint32(0),
+        jnp.uint32(n_rays), spp=spp, rfilter=rfilter, w=w, h=h,
+    )
+    return rec, film

@@ -544,7 +544,8 @@ def _replay_adj_class(scene, params, acc, adj, rec, orders, seed,
 def replay_grads_sorted(scene: Scene, params: dict, update_fn, target,
                         seed, rec: PathRecord, n_rays: int, *, chunk: int,
                         spp: int, max_depth: int, rr_depth: int,
-                        rfilter: str = "box", fused: bool = True):
+                        rfilter: str = "box", fused: bool = True,
+                        film=None):
     """Grad accumulation over a full-frame PathRecord, rows sorted by
     recorded path length so each chunk's depth scan runs only as long as
     its LONGEST path (classes on a doubling ladder -> log D compiles).
@@ -569,7 +570,14 @@ def replay_grads_sorted(scene: Scene, params: dict, update_fn, target,
     instead of 2 n_chunks — the round-4 fix for the per-chunk dispatch
     tax that made the sorted replay LOSE at depth 8 despite winning at
     65); run sizes depend only on n_chunks, so shapes are stable across
-    frames."""
+    frames.
+
+    `film` (optional): a precomputed forward film (weight channel intact,
+    same rfilter) — e.g. the free byproduct of
+    record_full_pipelined(return_film=True).  The forward bucketed pass is
+    skipped entirely and the adjoint is computed from the given film,
+    halving the sorted replay's forward work (the recorder's film is the
+    same estimator on the same rays/RNG dims as the replayed one)."""
     rows = rec.prim.shape[0]
     assert rows % chunk == 0, (rows, chunk)
     D = rec.prim.shape[1]
@@ -584,7 +592,9 @@ def replay_grads_sorted(scene: Scene, params: dict, update_fn, target,
     cls = [min(c for c in classes if c >= int(mx)) for mx in chunk_max]
 
     w, h = scene.camera.resolution
-    film = filmlib.new_film(w, h)
+    have_film = film is not None
+    if not have_film:
+        film = filmlib.new_film(w, h)
     seed_u = jnp.uint32(seed)
     end_u = jnp.uint32(n_rays)
     kw = dict(spp=spp, max_depth=max_depth, rr_depth=rr_depth,
@@ -614,12 +624,13 @@ def replay_grads_sorted(scene: Scene, params: dict, update_fn, target,
             off += s
         order2 = order.reshape(n_chunks, chunk)
 
-        for off, s, c in runs:
-            film = _replay_fwd_class(
-                scene, film, rec, order2[off:off + s], seed_u, end_u,
-                n_steps=c, **kw,
-            )
-    else:
+        if not have_film:
+            for off, s, c in runs:
+                film = _replay_fwd_class(
+                    scene, film, rec, order2[off:off + s], seed_u, end_u,
+                    n_steps=c, **kw,
+                )
+    elif not have_film:
         for j in range(n_chunks):
             oj = jax.lax.dynamic_slice_in_dim(order, j * chunk, chunk)
             film = _replay_fwd_chunk(
@@ -753,7 +764,7 @@ def replay_grads_trunc(scene: Scene, params: dict, update_fn, target,
 def replay_grads(scene: Scene, params: dict, update_fn, target, seed,
                  rec: PathRecord, n_rays: int, *, chunk: int, spp: int,
                  max_depth: int, rr_depth: int, rfilter: str = "box",
-                 mode: str = "auto"):
+                 mode: str = "auto", film=None):
     """Production fwd+bwd replay dispatcher.
 
     mode='auto': 'sorted' when max_depth >= 16 (deep specs like the
@@ -770,9 +781,11 @@ def replay_grads(scene: Scene, params: dict, update_fn, target, seed,
         mode = "sorted" if max_depth >= 16 else "full"
     fn = {"sorted": replay_grads_sorted, "full": replay_grads_full,
           "trunc": replay_grads_trunc}[mode]
+    extra = {"film": film} if mode == "sorted" else {}
     return fn(
         scene, params, update_fn, target, seed, rec, n_rays, chunk=chunk,
         spp=spp, max_depth=max_depth, rr_depth=rr_depth, rfilter=rfilter,
+        **extra,
     )
 
 

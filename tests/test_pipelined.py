@@ -77,3 +77,71 @@ def test_pipelined_recorder_matches_record_full(box):
         np.testing.assert_array_equal(
             np.asarray(getattr(b, f)), np.asarray(getattr(a, f)), err_msg=f
         )
+
+def test_record_film_matches_replay_forward(box):
+    """record_full_pipelined(return_film=True)'s film is the SAME film the
+    sorted replay's forward pass would rebuild from the record (same rays,
+    same RNG dims, same shading core) — and feeding it back via film=...
+    must leave the sorted gradients equal to the uniform full replay."""
+    from mitsuba3_experiments_tpu.integrators.pipelined import (
+        record_full_pipelined,
+    )
+    from mitsuba3_experiments_tpu.integrators.replay import (
+        replay_grads_full,
+        replay_grads_sorted,
+        replay_radiance,
+    )
+    from mitsuba3_experiments_tpu.integrators import PathIntegrator, render
+    from mitsuba3_experiments_tpu.render import film as filmlib
+    from mitsuba3_experiments_tpu.scene.params import update
+
+    w, h = box.camera.resolution
+    spp, depth = 2, 6
+    n = w * h * spp
+    pad = n + 2 * 128
+
+    rec, film = record_full_pipelined(
+        box, 7, n, spp=spp, max_depth=depth, rr_depth=2, steps=7,
+        rounds_per_launch=3, n_lanes=128, pad_to=pad, return_film=True,
+        rfilter="box",
+    )
+
+    # the film must equal a from-record forward rebuild (replay_radiance
+    # over all rows, natural order)
+    L, pos, act0 = replay_radiance(
+        box, rec, 7, 0, spp=spp, max_depth=depth, rr_depth=2,
+        ray_end=jnp.uint32(n),
+    )
+    film_ref = filmlib.put(
+        filmlib.new_film(w, h), pos, jnp.where(jnp.isfinite(L), L, 0.0),
+        active=act0, rfilter="box",
+    )
+    np.testing.assert_allclose(
+        np.asarray(film), np.asarray(film_ref), rtol=1e-5, atol=1e-6
+    )
+
+    # grads: sorted with the recorder's film == uniform full replay
+    target = np.asarray(
+        render(box, PathIntegrator(max_depth=depth), seed=11, spp=spp,
+               rfilter="box")
+    )
+    params = {
+        "materials.base_color": box.materials.base_color,
+        "emitters.radiance": box.emitters.radiance,
+    }
+    g_full = replay_grads_full(
+        box, params, update, jnp.asarray(target), 7, rec, n,
+        chunk=pad // 2, spp=spp, max_depth=depth, rr_depth=2,
+        rfilter="box",
+    )
+    g_sort = replay_grads_sorted(
+        box, params, update, jnp.asarray(target), 7, rec, n,
+        chunk=pad // 4, spp=spp, max_depth=depth, rr_depth=2,
+        rfilter="box", film=film,
+    )
+    for k in params:
+        a = np.asarray(g_full[k])
+        np.testing.assert_allclose(
+            np.asarray(g_sort[k]), a, rtol=1e-3,
+            atol=1e-4 * max(1e-9, np.abs(a).max()),
+        )
