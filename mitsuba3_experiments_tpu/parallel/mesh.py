@@ -342,27 +342,30 @@ def sharded_replay_grad(scene, params, target, seed, mesh: Mesh, *,
     ])
     glob = jnp.tile(miss_row, (ndev, rows + 1, D, 1))
     cursors = starts
+    rayL = None
     if scheduler == "pipelined":
-        def dev_record2(scene, st, occm, r_prim, r_u, r_v, glob, next_ray,
-                        start, end, seed, unified):
-            st, occm, r_prim, r_u, r_v, g, nr = pl._run_record_pipelined(
-                scene, st, occm, r_prim, r_u, r_v, glob[0], next_ray[0],
-                seed, end[0], unified, start[0], n_nodes=n_nodes,
-                spp=spp, max_depth=max_depth, rr_depth=rr_depth,
-                steps=steps, n_rounds=rounds_per_launch,
+        def dev_record2(scene, st, occm, r_prim, r_u, r_v, glob, rayL,
+                        next_ray, start, end, seed, unified):
+            (st, occm, r_prim, r_u, r_v, g, rl,
+             nr) = pl._run_record_pipelined(
+                scene, st, occm, r_prim, r_u, r_v, glob[0], rayL[0],
+                next_ray[0], seed, end[0], unified, start[0],
+                n_nodes=n_nodes, spp=spp, max_depth=max_depth,
+                rr_depth=rr_depth, steps=steps,
+                n_rounds=rounds_per_launch,
             )
-            return st, occm, r_prim, r_u, r_v, g[None], nr[None]
+            return st, occm, r_prim, r_u, r_v, g[None], rl[None], nr[None]
 
         rec_fn = jax.jit(
             jax.shard_map(
                 dev_record2, mesh=mesh,
                 in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"),
                           P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
-                          P(), P()),
-                out_specs=(P("dp"),) * 7,
+                          P("dp"), P(), P()),
+                out_specs=(P("dp"),) * 8,
                 check_vma=False,
             ),
-            donate_argnums=(1, 2, 3, 4, 5, 6, 7),
+            donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8),
         )
         st = pl.PipelinedState.empty(lanes * ndev, stack_depth=sd)
         W = (max_depth + 31) // 32
@@ -370,10 +373,11 @@ def sharded_replay_grad(scene, params, target, seed, mesh: Mesh, *,
         r_prim = jnp.full((lanes * ndev, 2, D), -1, jnp.int32)
         r_u = jnp.zeros((lanes * ndev, 2, D), jnp.float32)
         r_v = jnp.zeros((lanes * ndev, 2, D), jnp.float32)
+        rayL = jnp.zeros((ndev, rows + 1, 3), jnp.float32)
         while True:
-            st, occm, r_prim, r_u, r_v, glob, cursors = rec_fn(
-                scene, st, occm, r_prim, r_u, r_v, glob, cursors, starts,
-                ends, seed_u, unified,
+            st, occm, r_prim, r_u, r_v, glob, rayL, cursors = rec_fn(
+                scene, st, occm, r_prim, r_u, r_v, glob, rayL, cursors,
+                starts, ends, seed_u, unified,
             )
             n_alive = int(jnp.sum(
                 (st.phase != pl.PH_DEAD).astype(jnp.int32)))
@@ -448,7 +452,28 @@ def sharded_replay_grad(scene, params, target, seed, mesh: Mesh, *,
         in_specs=(P(), P("dp"), P("dp"), P("dp"), P()),
         out_specs=P(), check_vma=False,
     ))
-    film = fwd_fn(scene, rec, starts, ends, seed_u)
+
+    if rayL is not None:
+        # pipelined recorder: the forward film is a free record byproduct
+        # (each retired slot flushed its radiance — integrators/
+        # pipelined.py::_flush_record_pipelined); one deferred splat per
+        # device + psum replaces the whole forward replay pass
+        def dev_splat(scene, rayL, start, end, seed):
+            from ..integrators.persistent import splat_deferred
+            f = splat_deferred(
+                scene.camera, seed, rayL[0][:rows], start[0],
+                end[0] - start[0], spp=spp, rfilter=rfilter, w=w, h=h,
+            )
+            return jax.lax.psum(f, "dp")
+
+        splat_fn = jax.jit(jax.shard_map(
+            dev_splat, mesh=mesh,
+            in_specs=(P(), P("dp"), P("dp"), P("dp"), P()),
+            out_specs=P(), check_vma=False,
+        ))
+        film = splat_fn(scene, rayL, starts, ends, seed_u)
+    else:
+        film = fwd_fn(scene, rec, starts, ends, seed_u)
     img = filmlib.develop(film)
     wgt = film[..., 3:4]
     msk = wgt > 0.0
