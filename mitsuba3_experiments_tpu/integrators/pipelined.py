@@ -565,17 +565,21 @@ def render_pipelined(scene: Scene, seed: int = 0, spp: int = 16,
 # ------------------------- pipelined recorder -------------------------
 
 def _flush_record_pipelined(st: PipelinedState, occm, r_prim, r_u, r_v,
-                            glob, rayL, idx0):
+                            glob, idx0):
     from .replay import _prim_encode
     """Flush RETIREd slots' packed record rows into the frame-sized glob
-    (one (N, D, 4) scatter per slot per round; layout identical to
-    replay._run_record_full — prim bitcast f32, occl as 0/1 unpacked from
-    the bitmask).  Also flushes the slot's final radiance into `rayL` —
-    the recorder runs the full forward machine, so the forward film is a
-    FREE byproduct of recording (splat_deferred after the loop), which
-    lets replay_grads_sorted skip its entire forward bucketed pass (the
-    film it would recompute is bit-identical: same rays, same RNG dims,
-    same shading core).  Clears the slot to PH_DEAD for refill."""
+    (one (N, D+1, 4) scatter per slot per round; rows [:D] are the record
+    layout of replay._run_record_full — prim bitcast f32, occl as 0/1
+    unpacked from the bitmask).  Row D carries the slot's final RADIANCE
+    (L.rgb, 0): the recorder runs the full forward machine, so the
+    forward film is a FREE byproduct of recording (splat_deferred after
+    the loop), which lets replay_grads_sorted skip its entire forward
+    bucketed pass (the film it would recompute is bit-identical: same
+    rays, same RNG dims, same shading core).  Folding L into the SAME
+    packed scatter matters: row scatters are latency-bound per OP
+    (BENCH.md round 3 — a separate (N,3) radiance scatter per slot per
+    round measured +4.7 s on the d65 record).  Clears the slot to
+    PH_DEAD for refill."""
     D = r_prim.shape[2]
     n_pad = glob.shape[0] - 1
     colD = jnp.arange(D, dtype=jnp.uint32)
@@ -584,20 +588,29 @@ def _flush_record_pipelined(st: PipelinedState, occm, r_prim, r_u, r_v,
         # unpack occlusion bits for this slot: (N, D) f32
         words = occm[:, p, (colD // 32).astype(jnp.int32)]  # static idx
         occf = ((words >> (colD % 32)[None, :]) & 1).astype(jnp.float32)
-        packed = jnp.stack(
+        Lp = st.L[:, p]
+        L_row = jnp.concatenate(
+            [jnp.where(jnp.isfinite(Lp), Lp, 0.0),
+             jnp.zeros((Lp.shape[0], 1), Lp.dtype)], axis=-1,
+        )
+        packed = jnp.concatenate(
             [
-                _prim_encode(r_prim[:, p]),
-                r_u[:, p],
-                r_v[:, p],
-                occf,
+                jnp.stack(
+                    [
+                        _prim_encode(r_prim[:, p]),
+                        r_u[:, p],
+                        r_v[:, p],
+                        occf,
+                    ],
+                    axis=-1,
+                ),
+                L_row[:, None, :],
             ],
-            axis=-1,
+            axis=1,
         )
         dst = jnp.where(ret, st.idx[:, p] - jnp.uint32(idx0),
                         jnp.uint32(n_pad))
         glob = glob.at[dst].set(packed)
-        Lp = st.L[:, p]
-        rayL = rayL.at[dst].set(jnp.where(jnp.isfinite(Lp), Lp, 0.0))
         st = dataclasses.replace(
             st, phase=st.phase.at[:, p].set(
                 jnp.where(ret, PH_DEAD, st.phase[:, p])),
@@ -609,29 +622,31 @@ def _flush_record_pipelined(st: PipelinedState, occm, r_prim, r_u, r_v,
         r_v = r_v.at[:, p].set(jnp.where(r3, 0.0, r_v[:, p]))
         occm = occm.at[:, p].set(
             jnp.where(r3, jnp.uint32(0), occm[:, p]))
-    return st, occm, r_prim, r_u, r_v, glob, rayL
+    return st, occm, r_prim, r_u, r_v, glob
 
 
 @partial(
     jax.jit,
     static_argnames=("n_nodes", "spp", "max_depth", "rr_depth", "steps",
                      "n_rounds", "idle_spread"),
-    donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8),
+    donate_argnums=(1, 2, 3, 4, 5, 6, 7),
 )
 def _run_record_pipelined(scene: Scene, st: PipelinedState, occm, r_prim,
-                          r_u, r_v, glob, rayL, next_ray, seed, ray_end,
+                          r_u, r_v, glob, next_ray, seed, ray_end,
                           unified, idx0=0, *, n_nodes: int, spp: int,
                           max_depth: int, rr_depth: int, steps: int,
                           n_rounds: int, idle_spread: bool = True):
     """Recorder rounds on the two-path machine: the refill+flush design of
-    replay._run_record_full with the pipelined scheduler underneath."""
+    replay._run_record_full with the pipelined scheduler underneath.
+    `glob` is (rows+1, D+1, 4): record rows plus the radiance row D (see
+    _flush_record_pipelined)."""
     layout = scene.bvh.layout
 
     def one_round(carry, _):
-        st, occm, r_prim, r_u, r_v, glob, rayL, next_ray = carry
+        st, occm, r_prim, r_u, r_v, glob, next_ray = carry
         st, occm = _finish_round(st, occm=occm)
-        st, occm, r_prim, r_u, r_v, glob, rayL = _flush_record_pipelined(
-            st, occm, r_prim, r_u, r_v, glob, rayL, idx0,
+        st, occm, r_prim, r_u, r_v, glob = _flush_record_pipelined(
+            st, occm, r_prim, r_u, r_v, glob, idx0,
         )
         st, (r_prim, r_u, r_v) = _transition_pipelined(
             scene, st, seed, max_depth=max_depth, rr_depth=rr_depth,
@@ -642,13 +657,13 @@ def _run_record_pipelined(scene: Scene, st: PipelinedState, occm, r_prim,
         )
         st, occm = _stepper(unified, n_nodes, st, steps, layout=layout,
                             idle_spread=idle_spread, occm=occm)
-        return (st, occm, r_prim, r_u, r_v, glob, rayL, next_ray), None
+        return (st, occm, r_prim, r_u, r_v, glob, next_ray), None
 
-    (st, occm, r_prim, r_u, r_v, glob, rayL, next_ray), _ = jax.lax.scan(
-        one_round, (st, occm, r_prim, r_u, r_v, glob, rayL, next_ray),
+    (st, occm, r_prim, r_u, r_v, glob, next_ray), _ = jax.lax.scan(
+        one_round, (st, occm, r_prim, r_u, r_v, glob, next_ray),
         None, length=n_rounds,
     )
-    return st, occm, r_prim, r_u, r_v, glob, rayL, next_ray
+    return st, occm, r_prim, r_u, r_v, glob, next_ray
 
 
 def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
@@ -678,21 +693,20 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
     r_prim = jnp.full((n_lanes, 2, max_depth), -1, jnp.int32)
     r_u = jnp.zeros((n_lanes, 2, max_depth), jnp.float32)
     r_v = jnp.zeros((n_lanes, 2, max_depth), jnp.float32)
+    # glob rows: [0:D] record layout, row D = flushed radiance (L.rgb, 0)
     glob = jnp.tile(
         jnp.concatenate([
             _prim_encode(jnp.full((1,), -1, jnp.int32)),
             jnp.zeros((3,), jnp.float32),
         ]),
-        (rows + 1, max_depth, 1),
+        (rows + 1, max_depth + 1, 1),
     )
-    rayL = jnp.zeros((rows + 1, 3), m.Float)
     next_ray = jnp.zeros((), jnp.uint32)
     seed_u = jnp.uint32(seed)
     unified, n_nodes = unify_tables(scene.bvh)
     while True:
-        (st, occm, r_prim, r_u, r_v, glob, rayL,
-         next_ray) = _run_record_pipelined(
-            scene, st, occm, r_prim, r_u, r_v, glob, rayL, next_ray,
+        st, occm, r_prim, r_u, r_v, glob, next_ray = _run_record_pipelined(
+            scene, st, occm, r_prim, r_u, r_v, glob, next_ray,
             seed_u, jnp.uint32(n_rays), unified, n_nodes=n_nodes, spp=spp,
             max_depth=max_depth, rr_depth=rr_depth, steps=steps,
             n_rounds=rounds_per_launch,
@@ -700,7 +714,8 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
         n_alive, cursor = jax.device_get(_poll2(st, next_ray))
         if int(cursor) >= n_rays and int(n_alive) == 0:
             break
-    glob = glob[:rows]
+    rayL = glob[:n_rays, max_depth, 0:3]
+    glob = glob[:rows, :max_depth]
     rec = PathRecord(
         prim=_prim_decode(glob[:, :, 0]),
         u=glob[:, :, 1],
@@ -711,7 +726,7 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
         return rec
     w, h = scene.camera.resolution
     film = splat_deferred(
-        scene.camera, seed_u, rayL[:n_rays], jnp.uint32(0),
+        scene.camera, seed_u, rayL, jnp.uint32(0),
         jnp.uint32(n_rays), spp=spp, rfilter=rfilter, w=w, h=h,
     )
     return rec, film

@@ -340,32 +340,34 @@ def sharded_replay_grad(scene, params, target, seed, mesh: Mesh, *,
         rp._prim_encode(jnp.full((1,), -1, jnp.int32)),
         jnp.zeros((3,), jnp.float32),
     ])
-    glob = jnp.tile(miss_row, (ndev, rows + 1, D, 1))
+    # the pipelined glob carries one extra depth row (the flushed
+    # radiance — integrators/pipelined.py::_flush_record_pipelined)
+    glob = jnp.tile(miss_row, (
+        ndev, rows + 1, D + 1 if scheduler == "pipelined" else D, 1))
     cursors = starts
     rayL = None
     if scheduler == "pipelined":
-        def dev_record2(scene, st, occm, r_prim, r_u, r_v, glob, rayL,
-                        next_ray, start, end, seed, unified):
-            (st, occm, r_prim, r_u, r_v, g, rl,
-             nr) = pl._run_record_pipelined(
-                scene, st, occm, r_prim, r_u, r_v, glob[0], rayL[0],
-                next_ray[0], seed, end[0], unified, start[0],
-                n_nodes=n_nodes, spp=spp, max_depth=max_depth,
-                rr_depth=rr_depth, steps=steps,
-                n_rounds=rounds_per_launch,
+
+        def dev_record2(scene, st, occm, r_prim, r_u, r_v, glob, next_ray,
+                        start, end, seed, unified):
+            st, occm, r_prim, r_u, r_v, g, nr = pl._run_record_pipelined(
+                scene, st, occm, r_prim, r_u, r_v, glob[0], next_ray[0],
+                seed, end[0], unified, start[0], n_nodes=n_nodes,
+                spp=spp, max_depth=max_depth, rr_depth=rr_depth,
+                steps=steps, n_rounds=rounds_per_launch,
             )
-            return st, occm, r_prim, r_u, r_v, g[None], rl[None], nr[None]
+            return st, occm, r_prim, r_u, r_v, g[None], nr[None]
 
         rec_fn = jax.jit(
             jax.shard_map(
                 dev_record2, mesh=mesh,
                 in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"),
                           P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
-                          P("dp"), P(), P()),
-                out_specs=(P("dp"),) * 8,
+                          P(), P()),
+                out_specs=(P("dp"),) * 7,
                 check_vma=False,
             ),
-            donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8),
+            donate_argnums=(1, 2, 3, 4, 5, 6, 7),
         )
         st = pl.PipelinedState.empty(lanes * ndev, stack_depth=sd)
         W = (max_depth + 31) // 32
@@ -373,16 +375,17 @@ def sharded_replay_grad(scene, params, target, seed, mesh: Mesh, *,
         r_prim = jnp.full((lanes * ndev, 2, D), -1, jnp.int32)
         r_u = jnp.zeros((lanes * ndev, 2, D), jnp.float32)
         r_v = jnp.zeros((lanes * ndev, 2, D), jnp.float32)
-        rayL = jnp.zeros((ndev, rows + 1, 3), jnp.float32)
         while True:
-            st, occm, r_prim, r_u, r_v, glob, rayL, cursors = rec_fn(
-                scene, st, occm, r_prim, r_u, r_v, glob, rayL, cursors,
-                starts, ends, seed_u, unified,
+            st, occm, r_prim, r_u, r_v, glob, cursors = rec_fn(
+                scene, st, occm, r_prim, r_u, r_v, glob, cursors, starts,
+                ends, seed_u, unified,
             )
             n_alive = int(jnp.sum(
                 (st.phase != pl.PH_DEAD).astype(jnp.int32)))
             if n_alive == 0 and bool(jnp.all(cursors >= ends)):
                 break
+        rayL = glob[:, :rows, D, 0:3]
+        glob = glob[:, :, :D]
     else:
         def dev_record(scene, st, loc, glob, sh_depth, next_ray, start,
                        end, seed, unified):
