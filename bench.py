@@ -61,7 +61,7 @@ def _d65_rung():
             os.environ.get("BENCH_SMALL") == "1":
         return None
     return dict(res="1280x720", spp=4, depth=65, tris=2_000_000, chunk=768,
-                sched="pipelined", steps=32)
+                sched="pipelined", steps=32, rec_steps=48)
 
 
 def _run_cfg(cfg, deadline):
@@ -301,9 +301,13 @@ def worker(cfg):
         lanes = cfg.get("n_lanes", 65536)
         rchunk = cfg.get("replay_chunk", 131072)
         pad = ((n_rays + rchunk - 1) // rchunk) * rchunk
+        # rec_steps: the recorder's round length can differ from the
+        # renderer's (deep specs amortize the round boundary over longer
+        # rounds — d65 chip sweep: record steps 48 beats 32 by 7.6%,
+        # artifacts/r4/d65_filmrec2.log)
         rkw = dict(
             spp=spp, max_depth=depth, rr_depth=4,
-            steps=cfg.get("steps", 20),
+            steps=cfg.get("rec_steps", cfg.get("steps", 20)),
             rounds_per_launch=cfg.get("rpl", 32),
         )
 

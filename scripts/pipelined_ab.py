@@ -40,12 +40,13 @@ def main():
     n_rays = w * h * spp
 
     results = {}
-    ref_mean = None
+    ref_mean, ref_depth = None, None
     for c in cfgs:
-        kind, lanes, steps = c.split(":")
-        lanes, steps = int(lanes), int(steps)
+        parts = c.split(":")          # kind:lanes:steps[:depth]
+        kind, lanes, steps = parts[0], int(parts[1]), int(parts[2])
+        dep = int(parts[3]) if len(parts) > 3 else depth
         fn = render_persistent if kind == "persistent" else render_pipelined
-        kw = dict(spp=spp, max_depth=depth, rr_depth=4, rfilter="tent",
+        kw = dict(spp=spp, max_depth=dep, rr_depth=4, rfilter="tent",
                   n_lanes=lanes, steps=steps, rounds_per_launch=32)
         t0 = time.perf_counter()
         img = fn(scene, seed=1, **kw)
@@ -56,8 +57,8 @@ def main():
         jax.block_until_ready(img)
         dt = time.perf_counter() - t0
         mean = float(np.asarray(img).mean())
-        if ref_mean is None:
-            ref_mean = mean
+        if ref_mean is None or dep != ref_depth:
+            ref_mean, ref_depth = mean, dep
         rate = n_rays / dt
         print(f"{c}: {dt:.2f}s = {rate:.0f} rays/s  mean={mean:.6f} "
               f"(compile+1st {t_compile:.0f}s)", flush=True)
