@@ -284,25 +284,36 @@ def _engine_step(unified, n_nodes: int, lay: BVHLayout, idle_spread: bool,
     )
     sp_new = jnp.where(nxt == DONE, 0, sp_new)
 
-    # shift-register update: right by n_push on descend, left 1 on pop
+    # shift-register update: right by n_push on descend, left 1 on pop.
+    # The right shift composes by power-of-2 stages (shift bit b set ->
+    # shift by 2^b): ceil(log2 WIDTH) full-width selects instead of
+    # WIDTH-1 — the (N, STACK_DEPTH) selects are pure streaming
+    # bandwidth, so halving their count trims the stepper's largest
+    # non-gather term.  Composition is exact: each stage inserts zeros
+    # at the left, matching the direct zeros-pad of the total shift.
     shift = jnp.where(descend, n_push, 0) - can_pop.astype(jnp.int32)
+    res = stack
+    amt = 1
+    b = 0
+    while amt < WIDTH:
+        res = jnp.where(
+            (((shift >> b) & 1) > 0)[:, None] & (shift > 0)[:, None],
+            jnp.concatenate(
+                [jnp.zeros((n, amt), jnp.int32),
+                 res[:, : STACK_DEPTH - amt]],
+                axis=1,
+            ),
+            res,
+        )
+        amt *= 2
+        b += 1
     res = jnp.where(
         (shift == -1)[:, None],
         jnp.concatenate(
             [stack[:, 1:], jnp.full((n, 1), DONE, jnp.int32)], axis=1
         ),
-        stack,
+        res,
     )
-    for s in range(1, WIDTH):
-        res = jnp.where(
-            (shift == s)[:, None],
-            jnp.concatenate(
-                [jnp.zeros((n, s), jnp.int32),
-                 stack[:, : STACK_DEPTH - s]],
-                axis=1,
-            ),
-            res,
-        )
     # insert pushed codes at columns 0..n_push-1, nearest at column 0
     head = res[:, :WIDTH]
     for kk in range(WIDTH):
