@@ -63,9 +63,9 @@ PH_RETIRE = 9     # path finished; L awaits the deferred splat
 
 @jstruct
 class PipelinedState:
-    """Per-lane: two path slots + one shared traversal engine.
+    """Per-lane: S path slots (default 2) + one shared traversal engine.
 
-    Path-slot fields are (N, 2) / (N, 2, 3).  `Closure-class` fields are
+    Path-slot fields are (N, S) / (N, S, 3).  `Closure-class` fields are
     written only at round transitions, so the stepper reads them as
     loop-invariant closures and the fori_loop carry stays small (the
     round-3 t-stack lesson: carry columns cost real streaming bandwidth).
@@ -108,18 +108,19 @@ class PipelinedState:
     tr_v: jnp.ndarray       # (N,)
 
     @staticmethod
-    def empty(n: int, stack_depth: int | None = None):
+    def empty(n: int, stack_depth: int | None = None, n_slots: int = 2):
         sd = DEFAULT_LAYOUT.stack if stack_depth is None else stack_depth
-        z23 = lambda v=0.0: jnp.full((n, 2, 3), v, m.Float)  # noqa: E731
-        z2 = lambda v=0.0: jnp.full((n, 2), v, m.Float)      # noqa: E731
-        i2 = lambda v=0: jnp.full((n, 2), v, jnp.int32)      # noqa: E731
+        S = n_slots
+        z23 = lambda v=0.0: jnp.full((n, S, 3), v, m.Float)  # noqa: E731
+        z2 = lambda v=0.0: jnp.full((n, S), v, m.Float)      # noqa: E731
+        i2 = lambda v=0: jnp.full((n, S), v, jnp.int32)      # noqa: E731
         return PipelinedState(
             f=z23(1.0), eta=z2(1.0), depth=i2(1),
             prev_p=z23(), prev_pdf=z2(1.0),
-            prev_delta=jnp.ones((n, 2), bool),
-            idx=jnp.zeros((n, 2), jnp.uint32),
+            prev_delta=jnp.ones((n, S), bool),
+            idx=jnp.zeros((n, S), jnp.uint32),
             nee_L=z23(), next_o=z23(), next_d=z23(),
-            cont=jnp.zeros((n, 2), bool),
+            cont=jnp.zeros((n, S), bool),
             qt_o=z23(), qt_d=z23(), qt_maxt=z2(), sh_depth=i2(1),
             phase=i2(PH_DEAD), own=jnp.zeros((n,), jnp.int32),
             L=z23(), h_t=z2(), h_face=i2(-1), h_u=z2(), h_v=z2(),
@@ -148,23 +149,31 @@ def _to_sm(a):
 
 
 def _sel(a, own):
-    """Slot-major a[own] as an elementwise select."""
+    """Slot-major a[own] as an elementwise select (any slot count;
+    `own` may be any (N,) int array, e.g. a round-robin candidate)."""
+    S = a.shape[0]
     if a.ndim == 2:
-        return jnp.where(own == 0, a[0], a[1])
-    return jnp.where((own == 0)[:, None], a[0], a[1])
+        out = a[0]
+        for s in range(1, S):
+            out = jnp.where(own == s, a[s], out)
+        return out
+    out = a[0]
+    for s in range(1, S):
+        out = jnp.where((own == s)[:, None], a[s], out)
+    return out
 
 
 def _put(a, own, mask, val):
-    """Slot-major a[own] = val where mask (elementwise)."""
+    """Slot-major a[own] = val where mask (elementwise, any slot count)."""
+    S = a.shape[0]
     if a.ndim == 2:
         return jnp.stack(
-            [jnp.where(mask & (own == 0), val, a[0]),
-             jnp.where(mask & (own == 1), val, a[1])], axis=0,
+            [jnp.where(mask & (own == s), val, a[s]) for s in range(S)],
+            axis=0,
         )
-    m0 = (mask & (own == 0))[:, None]
-    m1 = (mask & (own == 1))[:, None]
     return jnp.stack(
-        [jnp.where(m0, val, a[0]), jnp.where(m1, val, a[1])], axis=0,
+        [jnp.where((mask & (own == s))[:, None], val, a[s])
+         for s in range(S)], axis=0,
     )
 
 
@@ -222,12 +231,18 @@ def _complete_and_arm(cl, ph, own, L, h_t, h_face, h_u, h_v,
     ph = _put(ph, own, tfin,
               jnp.where(php == PH_TRACE_RQ, PH_READY_Q, PH_READY_N))
 
-    # ---- engine arming: own slot first, else switch to the other ----
+    # ---- engine arming: own slot first, else round-robin to the next
+    # pending slot (S=2 reduces to the original "switch to the other") ----
+    S = ph.shape[0]
     own_pend = _pending(_sel(ph, own))
-    oth = 1 - own
-    oth_pend = _pending(_sel(ph, oth))
-    switch = done & ~own_pend & oth_pend
-    own = jnp.where(switch, oth, own)
+    new_own = own
+    found = own_pend
+    for k in range(1, S):
+        cand = jax.lax.rem(own + k, S)
+        cand_pend = _pending(_sel(ph, cand))
+        new_own = jnp.where(done & ~found & cand_pend, cand, new_own)
+        found = found | cand_pend
+    own = new_own
     p3 = _sel(ph, own)
     arm = done & _pending(p3)
     from_next = p3 == PH_TRACE_PN
@@ -353,7 +368,7 @@ def _finish_round(st: PipelinedState, occm=None):
 def _retire_pipelined(st: PipelinedState, rayL, *, deferred_pad):
     """Deferred splat of finished paths (both slots), as persistent._retire."""
     n_pad, idx0 = deferred_pad
-    for p in (0, 1):
+    for p in range(st.phase.shape[1]):
         ret = st.phase[:, p] == PH_RETIRE
         Lp = st.L[:, p]
         dst = jnp.where(ret, st.idx[:, p] - idx0, n_pad)
@@ -379,7 +394,7 @@ def _transition_pipelined(scene: Scene, st: PipelinedState, seed, *,
     if record:
         r_prim, r_u, r_v = rec
         colD = jnp.arange(r_prim.shape[2], dtype=jnp.int32)[None, :]
-    for p in (0, 1):
+    for p in range(st.phase.shape[1]):
         ph = st.phase[:, p]
         doneA = (ph == PH_READY_Q) | (ph == PH_READY_N)
         if record:
@@ -449,7 +464,7 @@ def _transition_pipelined(scene: Scene, st: PipelinedState, seed, *,
 def _refill_pipelined(scene: Scene, st: PipelinedState, next_ray, seed, *,
                       spp: int, ray_end):
     """Dead slots take fresh camera rays (prefix-sum ranked per slot)."""
-    for p in (0, 1):
+    for p in range(st.phase.shape[1]):
         dead = st.phase[:, p] == PH_DEAD
         di = dead.astype(jnp.int32)
         rank = jnp.cumsum(di) - di
@@ -531,18 +546,21 @@ def _poll2(st: PipelinedState, next_ray):
 def render_pipelined(scene: Scene, seed: int = 0, spp: int = 16,
                      max_depth: int = 16, rr_depth: int = 4,
                      rfilter: str = "box", n_lanes: int = 32768,
-                     steps: int = 16, rounds_per_launch: int = 8):
-    """Full-frame render with the two-path pipelined machine.  Per-ray
+                     steps: int = 16, rounds_per_launch: int = 8,
+                     n_slots: int = 2):
+    """Full-frame render with the S-slot pipelined machine.  Per-ray
     radiance is identical to render_persistent (same RNG dims, same
-    shading core) — only the engine scheduling differs."""
+    shading core) — only the engine scheduling differs.  `n_slots` is the
+    in-flight paths per lane (2 = the round-4 two-path machine)."""
     w, h = scene.camera.resolution
     n_total = w * h * spp
-    n_lanes = min(n_lanes, max(n_total // 2, 1))
+    n_lanes = min(n_lanes, max(n_total // n_slots, 1))
 
     seed_u = jnp.uint32(seed)
     rayL = jnp.zeros((n_total + 1, 3), m.Float)
     lay = scene.bvh.layout or DEFAULT_LAYOUT
-    st = PipelinedState.empty(n_lanes, stack_depth=lay.stack)
+    st = PipelinedState.empty(n_lanes, stack_depth=lay.stack,
+                              n_slots=n_slots)
     next_ray = jnp.zeros((), jnp.uint32)
     unified, n_nodes = unify_tables(scene.bvh)
     idx0 = jnp.uint32(0)
@@ -583,7 +601,7 @@ def _flush_record_pipelined(st: PipelinedState, occm, r_prim, r_u, r_v,
     D = r_prim.shape[2]
     n_pad = glob.shape[0] - 1
     colD = jnp.arange(D, dtype=jnp.uint32)
-    for p in (0, 1):
+    for p in range(st.phase.shape[1]):
         ret = st.phase[:, p] == PH_RETIRE
         # unpack occlusion bits for this slot: (N, D) f32
         words = occm[:, p, (colD // 32).astype(jnp.int32)]  # static idx
@@ -671,10 +689,12 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
                           rounds_per_launch: int = 8, n_lanes: int = 32768,
                           pad_to: int | None = None,
                           return_film: bool = False,
-                          rfilter: str = "box"):
+                          rfilter: str = "box", n_slots: int = 2):
     """record_full on the two-path pipelined machine — same PathRecord
     (bit-equal: same rays, same RNG dims, same flush layout), recorded with
     the idle-filling scheduler.  Drop-in for replay.record_full.
+
+    `n_slots`: in-flight paths per lane (see render_pipelined).
 
     return_film=True additionally returns the forward film (weight channel
     included, splat with `rfilter`): the recorder runs the full forward
@@ -684,15 +704,16 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
     the record (same rays, same RNG dims -> identical), for free."""
     from .replay import PathRecord, _prim_decode, _prim_encode
 
-    n_lanes = min(n_lanes, max(n_rays // 2, 1))
+    n_lanes = min(n_lanes, max(n_rays // n_slots, 1))
     rows = max(pad_to or n_rays, n_rays)
     lay = scene.bvh.layout or DEFAULT_LAYOUT
-    st = PipelinedState.empty(n_lanes, stack_depth=lay.stack)
+    st = PipelinedState.empty(n_lanes, stack_depth=lay.stack,
+                              n_slots=n_slots)
     W = (max_depth + 31) // 32
-    occm = jnp.zeros((n_lanes, 2, W), jnp.uint32)
-    r_prim = jnp.full((n_lanes, 2, max_depth), -1, jnp.int32)
-    r_u = jnp.zeros((n_lanes, 2, max_depth), jnp.float32)
-    r_v = jnp.zeros((n_lanes, 2, max_depth), jnp.float32)
+    occm = jnp.zeros((n_lanes, n_slots, W), jnp.uint32)
+    r_prim = jnp.full((n_lanes, n_slots, max_depth), -1, jnp.int32)
+    r_u = jnp.zeros((n_lanes, n_slots, max_depth), jnp.float32)
+    r_v = jnp.zeros((n_lanes, n_slots, max_depth), jnp.float32)
     # glob rows: [0:D] record layout, row D = flushed radiance (L.rgb, 0)
     glob = jnp.tile(
         jnp.concatenate([

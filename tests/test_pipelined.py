@@ -28,12 +28,17 @@ def box():
         # lanes far below the wavefront -> heavy refill traffic; odd steps
         dict(spp=2, max_depth=8, rr_depth=3, steps=5, rounds_per_launch=3,
              n_lanes=96),
+        # three in-flight paths per lane (round-4 session-2 S-slot
+        # generalization) — scheduling must still not change estimates
+        dict(spp=4, max_depth=5, rr_depth=2, steps=9, rounds_per_launch=3,
+             n_lanes=256, n_slots=3),
     ],
-    ids=["base", "tiny-lanes-deep"],
+    ids=["base", "tiny-lanes-deep", "three-slot"],
 )
 def test_pipelined_matches_persistent(box, kw):
+    pkw = {k: v for k, v in kw.items() if k != "n_slots"}
     a = np.asarray(render_persistent(box, seed=5, rfilter="tent",
-                                     **{**kw, "n_lanes": 1024}))
+                                     **{**pkw, "n_lanes": 1024}))
     b = np.asarray(render_pipelined(box, seed=5, rfilter="tent", **kw))
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
 
@@ -73,9 +78,14 @@ def test_pipelined_recorder_matches_record_full(box):
               rounds_per_launch=3, pad_to=pad)
     a = record_full(box, 3, n, n_lanes=256, **kw)
     b = record_full_pipelined(box, 3, n, n_lanes=128, **kw)
+    c = record_full_pipelined(box, 3, n, n_lanes=96, n_slots=3, **kw)
     for f in ("prim", "u", "v", "occl"):
         np.testing.assert_array_equal(
             np.asarray(getattr(b, f)), np.asarray(getattr(a, f)), err_msg=f
+        )
+        np.testing.assert_array_equal(
+            np.asarray(getattr(c, f)), np.asarray(getattr(a, f)),
+            err_msg=f"3-slot {f}",
         )
 
 def test_record_film_matches_replay_forward(box):
