@@ -107,7 +107,8 @@ def _run_counting(scene, st, rayL, next_ray, census, seed, ray_end,
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 28
     lanes = int(sys.argv[2]) if len(sys.argv) > 2 else 65536
-    w, h, spp, depth = 1280, 720, 4, 8
+    depth = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    w, h, spp = 1280, 720, 4
     rpl = 32
     scene, _ = load_flagship(res=(w, h), spp=spp, tri_budget=2_000_000)
     unified, n_nodes = pp.unify_tables(scene.bvh)
