@@ -284,16 +284,30 @@ def _slot_major_closures(st: PipelinedState):
 
 
 def _stepper(unified, n_nodes: int, st: PipelinedState, k: int, *,
-             layout=None, idle_spread: bool = True, occm=None):
+             layout=None, idle_spread: bool = True, occm=None,
+             arm_every: int = 1):
     """Advance the engines by at most k iterations, scheduling both slots
     (see module docstring).  The engine body is persistent._engine_step —
     identical traversal math to the single-path stepper.  With `occm`
-    (lane-major (N, 2, W), recorder), returns (state, occm)."""
+    (lane-major (N, 2, W), recorder), returns (state, occm).
+
+    `arm_every` (round-4 chunked arming): run the scheduler
+    (_complete_and_arm) every arm_every-th engine iteration instead of
+    every iteration.  Legal because a completed engine lane is a no-op
+    (cur == DONE gathers a discarded spread row) and no re-arming happens
+    mid-chunk, so `any_hit` and the ray registers are chunk-invariant —
+    the inner engine loop then carries ONLY the seven traversal registers
+    (the slot streams ph/L/h_* are touched once per chunk, not per
+    iteration).  Estimates are identical (scheduling changes which rows
+    get gathered, never any value); the cost is up to arm_every-1 idle
+    iterations per completed query."""
     lay = layout if layout is not None else DEFAULT_LAYOUT
     cl = _slot_major_closures(st)
     rec = occm is not None
     if rec:
         occm = jnp.transpose(occm, (1, 2, 0))  # -> (2, W, N)
+    ka = max(1, min(arm_every, k))
+    n_chunks = (k + ka - 1) // ka
 
     def body(_, carry):
         if rec:
@@ -312,10 +326,21 @@ def _stepper(unified, n_nodes: int, st: PipelinedState, k: int, *,
         if rec:
             occm = out[15]
         any_hit = _sel(ph, own) == PH_SHADOW_R
-        cur, sp, stack, t, face, u, v = _engine_step(
-            unified, n_nodes, lay, idle_spread, tro, trd, any_hit,
-            cur, sp, stack, t, face, u, v,
-        )
+        if ka == 1:
+            cur, sp, stack, t, face, u, v = _engine_step(
+                unified, n_nodes, lay, idle_spread, tro, trd, any_hit,
+                cur, sp, stack, t, face, u, v,
+            )
+        else:
+            def engine_only(_, ec):
+                return _engine_step(
+                    unified, n_nodes, lay, idle_spread, tro, trd, any_hit,
+                    *ec,
+                )
+
+            cur, sp, stack, t, face, u, v = jax.lax.fori_loop(
+                0, ka, engine_only, (cur, sp, stack, t, face, u, v)
+            )
         res = (ph, own, L, h_t, h_face, h_u, h_v,
                tro, trd, cur, sp, stack, t, face, u, v)
         return res + (occm,) if rec else res
@@ -326,7 +351,7 @@ def _stepper(unified, n_nodes: int, st: PipelinedState, k: int, *,
             st.tr_face, st.tr_u, st.tr_v)
     if rec:
         init = init + (occm,)
-    fin = jax.lax.fori_loop(0, k, body, init)
+    fin = jax.lax.fori_loop(0, n_chunks, body, init)
     (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, stack, t,
      face, u, v) = fin[:16]
     st = dataclasses.replace(
@@ -508,13 +533,14 @@ def _refill_pipelined(scene: Scene, st: PipelinedState, next_ray, seed, *,
 @partial(
     jax.jit,
     static_argnames=("n_nodes", "spp", "max_depth", "rr_depth", "steps",
-                     "n_rounds", "idle_spread"),
+                     "n_rounds", "idle_spread", "arm_every"),
     donate_argnums=(1, 2, 3),
 )
 def _run_pipelined(scene: Scene, st: PipelinedState, rayL, next_ray,
                    seed, ray_end, unified, idx0, *, n_nodes: int, spp: int,
                    max_depth: int, rr_depth: int, steps: int,
-                   n_rounds: int, idle_spread: bool = True):
+                   n_rounds: int, idle_spread: bool = True,
+                   arm_every: int = 1):
     n_pad = jnp.uint32(rayL.shape[0] - 1)
     layout = scene.bvh.layout
 
@@ -529,7 +555,7 @@ def _run_pipelined(scene: Scene, st: PipelinedState, rayL, next_ray,
             scene, st, next_ray, seed, spp=spp, ray_end=ray_end
         )
         st = _stepper(unified, n_nodes, st, steps, layout=layout,
-                      idle_spread=idle_spread)
+                      idle_spread=idle_spread, arm_every=arm_every)
         return (st, rayL, next_ray), None
 
     (st, rayL, next_ray), _ = jax.lax.scan(
@@ -547,11 +573,13 @@ def render_pipelined(scene: Scene, seed: int = 0, spp: int = 16,
                      max_depth: int = 16, rr_depth: int = 4,
                      rfilter: str = "box", n_lanes: int = 32768,
                      steps: int = 16, rounds_per_launch: int = 8,
-                     n_slots: int = 2):
+                     n_slots: int = 2, arm_every: int = 1):
     """Full-frame render with the S-slot pipelined machine.  Per-ray
     radiance is identical to render_persistent (same RNG dims, same
     shading core) — only the engine scheduling differs.  `n_slots` is the
-    in-flight paths per lane (2 = the round-4 two-path machine)."""
+    in-flight paths per lane (2 = the round-4 two-path machine);
+    `arm_every` chunks the scheduler to every k-th engine iteration
+    (see _stepper)."""
     w, h = scene.camera.resolution
     n_total = w * h * spp
     n_lanes = min(n_lanes, max(n_total // n_slots, 1))
@@ -569,6 +597,7 @@ def render_pipelined(scene: Scene, seed: int = 0, spp: int = 16,
             scene, st, rayL, next_ray, seed_u, jnp.uint32(n_total),
             unified, idx0, n_nodes=n_nodes, spp=spp, max_depth=max_depth,
             rr_depth=rr_depth, steps=steps, n_rounds=rounds_per_launch,
+            arm_every=arm_every,
         )
         n_alive, cursor = jax.device_get(_poll2(st, next_ray))
         if int(cursor) >= n_total and int(n_alive) == 0:
@@ -646,14 +675,15 @@ def _flush_record_pipelined(st: PipelinedState, occm, r_prim, r_u, r_v,
 @partial(
     jax.jit,
     static_argnames=("n_nodes", "spp", "max_depth", "rr_depth", "steps",
-                     "n_rounds", "idle_spread"),
+                     "n_rounds", "idle_spread", "arm_every"),
     donate_argnums=(1, 2, 3, 4, 5, 6, 7),
 )
 def _run_record_pipelined(scene: Scene, st: PipelinedState, occm, r_prim,
                           r_u, r_v, glob, next_ray, seed, ray_end,
                           unified, idx0=0, *, n_nodes: int, spp: int,
                           max_depth: int, rr_depth: int, steps: int,
-                          n_rounds: int, idle_spread: bool = True):
+                          n_rounds: int, idle_spread: bool = True,
+                          arm_every: int = 1):
     """Recorder rounds on the two-path machine: the refill+flush design of
     replay._run_record_full with the pipelined scheduler underneath.
     `glob` is (rows+1, D+1, 4): record rows plus the radiance row D (see
@@ -674,7 +704,8 @@ def _run_record_pipelined(scene: Scene, st: PipelinedState, occm, r_prim,
             scene, st, next_ray, seed, spp=spp, ray_end=ray_end
         )
         st, occm = _stepper(unified, n_nodes, st, steps, layout=layout,
-                            idle_spread=idle_spread, occm=occm)
+                            idle_spread=idle_spread, occm=occm,
+                            arm_every=arm_every)
         return (st, occm, r_prim, r_u, r_v, glob, next_ray), None
 
     (st, occm, r_prim, r_u, r_v, glob, next_ray), _ = jax.lax.scan(
@@ -689,7 +720,8 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
                           rounds_per_launch: int = 8, n_lanes: int = 32768,
                           pad_to: int | None = None,
                           return_film: bool = False,
-                          rfilter: str = "box", n_slots: int = 2):
+                          rfilter: str = "box", n_slots: int = 2,
+                          arm_every: int = 1):
     """record_full on the two-path pipelined machine — same PathRecord
     (bit-equal: same rays, same RNG dims, same flush layout), recorded with
     the idle-filling scheduler.  Drop-in for replay.record_full.
@@ -730,7 +762,7 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
             scene, st, occm, r_prim, r_u, r_v, glob, next_ray,
             seed_u, jnp.uint32(n_rays), unified, n_nodes=n_nodes, spp=spp,
             max_depth=max_depth, rr_depth=rr_depth, steps=steps,
-            n_rounds=rounds_per_launch,
+            n_rounds=rounds_per_launch, arm_every=arm_every,
         )
         n_alive, cursor = jax.device_get(_poll2(st, next_ray))
         if int(cursor) >= n_rays and int(n_alive) == 0:

@@ -32,11 +32,18 @@ def box():
         # generalization) — scheduling must still not change estimates
         dict(spp=4, max_depth=5, rr_depth=2, steps=9, rounds_per_launch=3,
              n_lanes=256, n_slots=3),
+        # chunked arming (round-4 session-3): scheduler every 4th engine
+        # iteration; steps not divisible by arm_every on purpose
+        dict(spp=4, max_depth=5, rr_depth=2, steps=10, rounds_per_launch=3,
+             n_lanes=256, arm_every=4),
+        dict(spp=2, max_depth=8, rr_depth=3, steps=6, rounds_per_launch=3,
+             n_lanes=96, n_slots=3, arm_every=3),
     ],
-    ids=["base", "tiny-lanes-deep", "three-slot"],
+    ids=["base", "tiny-lanes-deep", "three-slot", "arm4", "arm3-slot3"],
 )
 def test_pipelined_matches_persistent(box, kw):
-    pkw = {k: v for k, v in kw.items() if k != "n_slots"}
+    pkw = {k: v for k, v in kw.items()
+           if k not in ("n_slots", "arm_every")}
     a = np.asarray(render_persistent(box, seed=5, rfilter="tent",
                                      **{**pkw, "n_lanes": 1024}))
     b = np.asarray(render_pipelined(box, seed=5, rfilter="tent", **kw))
@@ -79,6 +86,7 @@ def test_pipelined_recorder_matches_record_full(box):
     a = record_full(box, 3, n, n_lanes=256, **kw)
     b = record_full_pipelined(box, 3, n, n_lanes=128, **kw)
     c = record_full_pipelined(box, 3, n, n_lanes=96, n_slots=3, **kw)
+    d = record_full_pipelined(box, 3, n, n_lanes=128, arm_every=4, **kw)
     for f in ("prim", "u", "v", "occl"):
         np.testing.assert_array_equal(
             np.asarray(getattr(b, f)), np.asarray(getattr(a, f)), err_msg=f
@@ -86,6 +94,10 @@ def test_pipelined_recorder_matches_record_full(box):
         np.testing.assert_array_equal(
             np.asarray(getattr(c, f)), np.asarray(getattr(a, f)),
             err_msg=f"3-slot {f}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(getattr(d, f)), np.asarray(getattr(a, f)),
+            err_msg=f"arm4 {f}",
         )
 
 def test_record_film_matches_replay_forward(box):
