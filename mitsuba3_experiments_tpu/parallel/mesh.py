@@ -138,7 +138,8 @@ def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
                               rr_depth: int = 4, rfilter: str = "box",
                               n_lanes: int = 32768, steps: int = 16,
                               rounds_per_launch: int = 8,
-                              scheduler: str = "persistent"):
+                              scheduler: str = "persistent",
+                              arm_every: int = 1):
     """Multi-chip persistent-wavefront render: each device runs its own
     incremental-traversal state machine over an owned contiguous slice of
     the global ray stream; each device splats its deferred per-ray
@@ -191,11 +192,14 @@ def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
 
     unified, n_nodes = unify_tables(scene.bvh)
 
+    sched_kw = {"arm_every": arm_every} if scheduler == "pipelined" else {}
+
     def per_device(scene, st, rayL, next_ray, rend, off, seed, unified):
         st, rl, nr = _runner(
             scene, st, rayL[0], next_ray[0], seed, rend[0], unified,
             off[0], n_nodes=n_nodes, spp=spp, max_depth=max_depth,
             rr_depth=rr_depth, steps=steps, n_rounds=rounds_per_launch,
+            **sched_kw,
         )
         return st, rl[None], nr[None]
 
@@ -288,7 +292,8 @@ def sharded_replay_grad(scene, params, target, seed, mesh: Mesh, *,
                         rfilter: str = "box", steps: int = 16,
                         rounds_per_launch: int = 8, ray_end=None,
                         chunk: int | None = None,
-                        scheduler: str = "persistent"):
+                        scheduler: str = "persistent",
+                        arm_every: int = 1):
     """Multi-chip fwd+bwd on the production path (VERDICT r3 #4): each
     device owns a contiguous slice of the ray stream and RECORDS it with
     the refill+flush persistent recorder (integrators/replay.py::
@@ -355,6 +360,7 @@ def sharded_replay_grad(scene, params, target, seed, mesh: Mesh, *,
                 seed, end[0], unified, start[0], n_nodes=n_nodes,
                 spp=spp, max_depth=max_depth, rr_depth=rr_depth,
                 steps=steps, n_rounds=rounds_per_launch,
+                arm_every=arm_every,
             )
             return st, occm, r_prim, r_u, r_v, g[None], nr[None]
 
