@@ -111,6 +111,15 @@ def test_persistent_sharded_matches_single_device(box):
     )
     np.testing.assert_allclose(img8p, img1, rtol=1e-4, atol=1e-5)
 
+    # chunked arming under shard_map (scheduling-independence again)
+    img8a = np.asarray(
+        render_persistent_sharded(box, mesh, spp=2, max_depth=3,
+                                  n_lanes=64, steps=8,
+                                  rounds_per_launch=4, seed=3,
+                                  scheduler="pipelined", arm_every=3)
+    )
+    np.testing.assert_allclose(img8a, img1, rtol=1e-4, atol=1e-5)
+
 
 def test_sharded_replay_grad_matches_single_device(box):
     """Multi-chip record+replay fwd+bwd == single-device replay grads."""
@@ -164,12 +173,13 @@ def test_sharded_replay_grad_matches_single_device(box):
         np.testing.assert_allclose(b, a, rtol=2e-3,
                                    atol=2e-4 * max(1e-9, np.abs(a).max()))
 
-    # the pipelined recorder under shard_map: same loss + grads again
+    # the pipelined recorder under shard_map (chunked arming on: the
+    # record must be scheduling-independent here too): same loss + grads
     loss3, g8c = sharded_replay_grad(
         box, params, target, 4, mesh, idx0=0, n_lanes=half, spp=spp,
         max_depth=depth, rr_depth=2, rfilter="box", steps=8,
         rounds_per_launch=4, ray_end=n, chunk=half,
-        scheduler="pipelined",
+        scheduler="pipelined", arm_every=2,
     )
     np.testing.assert_allclose(float(loss3), float(loss), rtol=1e-4)
     for k in params:
