@@ -307,43 +307,52 @@ def _stepper(unified, n_nodes: int, st: PipelinedState, k: int, *,
     if rec:
         occm = jnp.transpose(occm, (1, 2, 0))  # -> (2, W, N)
     ka = max(1, min(arm_every, k))
-    n_chunks = (k + ka - 1) // ka
 
-    def body(_, carry):
-        if rec:
-            (ph, own, L, h_t, h_face, h_u, h_v,
-             tro, trd, cur, sp, stack, t, face, u, v, occm) = carry
-        else:
-            (ph, own, L, h_t, h_face, h_u, h_v,
-             tro, trd, cur, sp, stack, t, face, u, v) = carry
-            occm = None
-        out = _complete_and_arm(
-            cl, ph, own, L, h_t, h_face, h_u, h_v,
-            tro, trd, cur, sp, t, face, u, v, occm=occm,
-        )
-        (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, t, face,
-         u, v) = out[:15]
-        if rec:
-            occm = out[15]
-        any_hit = _sel(ph, own) == PH_SHADOW_R
-        if ka == 1:
-            cur, sp, stack, t, face, u, v = _engine_step(
-                unified, n_nodes, lay, idle_spread, tro, trd, any_hit,
-                cur, sp, stack, t, face, u, v,
+    def make_body(chunk_len):
+        def body(_, carry):
+            if rec:
+                (ph, own, L, h_t, h_face, h_u, h_v,
+                 tro, trd, cur, sp, stack, t, face, u, v, occm) = carry
+            else:
+                (ph, own, L, h_t, h_face, h_u, h_v,
+                 tro, trd, cur, sp, stack, t, face, u, v) = carry
+                occm = None
+            out = _complete_and_arm(
+                cl, ph, own, L, h_t, h_face, h_u, h_v,
+                tro, trd, cur, sp, t, face, u, v, occm=occm,
             )
-        else:
-            def engine_only(_, ec):
-                return _engine_step(
+            (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, t,
+             face, u, v) = out[:15]
+            if rec:
+                occm = out[15]
+            any_hit = _sel(ph, own) == PH_SHADOW_R
+            if chunk_len == 1:
+                cur, sp, stack, t, face, u, v = _engine_step(
                     unified, n_nodes, lay, idle_spread, tro, trd, any_hit,
-                    *ec,
+                    cur, sp, stack, t, face, u, v,
                 )
+            else:
+                def engine_only(_, ec):
+                    return _engine_step(
+                        unified, n_nodes, lay, idle_spread, tro, trd,
+                        any_hit, *ec,
+                    )
 
-            cur, sp, stack, t, face, u, v = jax.lax.fori_loop(
-                0, ka, engine_only, (cur, sp, stack, t, face, u, v)
-            )
-        res = (ph, own, L, h_t, h_face, h_u, h_v,
-               tro, trd, cur, sp, stack, t, face, u, v)
-        return res + (occm,) if rec else res
+                cur, sp, stack, t, face, u, v = jax.lax.fori_loop(
+                    0, chunk_len, engine_only,
+                    (cur, sp, stack, t, face, u, v)
+                )
+            res = (ph, own, L, h_t, h_face, h_u, h_v,
+                   tro, trd, cur, sp, stack, t, face, u, v)
+            return res + (occm,) if rec else res
+
+        return body
+
+    # k need not divide by ka: full chunks then one clamped remainder
+    # chunk, so the round runs EXACTLY k engine iterations (values are
+    # scheduling-independent either way; this keeps the documented
+    # "at most k iterations" cost contract exact).
+    n_full, rem = divmod(k, ka)
 
     init = (_to_sm(st.phase), st.own, _to_sm(st.L), _to_sm(st.h_t),
             _to_sm(st.h_face), _to_sm(st.h_u), _to_sm(st.h_v),
@@ -351,7 +360,11 @@ def _stepper(unified, n_nodes: int, st: PipelinedState, k: int, *,
             st.tr_face, st.tr_u, st.tr_v)
     if rec:
         init = init + (occm,)
-    fin = jax.lax.fori_loop(0, n_chunks, body, init)
+    fin = init
+    if n_full:
+        fin = jax.lax.fori_loop(0, n_full, make_body(ka), fin)
+    if rem:
+        fin = make_body(rem)(0, fin)
     (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, stack, t,
      face, u, v) = fin[:16]
     st = dataclasses.replace(

@@ -81,6 +81,11 @@ def pallas_dep(table, idx0, *, iters: int, block: int):
     from jax.experimental.pallas import tpu as pltpu
 
     n = idx0.shape[0]
+    if n % block != 0:
+        raise SystemExit(
+            f"n_lanes ({n}) must be a multiple of block ({block}) — "
+            "the kernel reshapes lanes to (grid, block)"
+        )
     grid = n // block
     # Mosaic tiles HBM memrefs (1, 128): a 1x88 row slice is illegal, so
     # the kernel's table is padded to the 128-lane boundary (512-B rows

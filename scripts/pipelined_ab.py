@@ -49,6 +49,11 @@ def main():
         kw = dict(spp=spp, max_depth=dep, rr_depth=4, rfilter="tent",
                   n_lanes=lanes, steps=steps, rounds_per_launch=32)
         if len(parts) > 4:
+            if kind != "pipelined":
+                raise SystemExit(
+                    f"{c}: slots/arm fields are pipelined-only "
+                    "(persistent configs take kind:lanes:steps[:depth])"
+                )
             kw["n_slots"] = int(parts[4])
         if len(parts) > 5:
             kw["arm_every"] = int(parts[5])
