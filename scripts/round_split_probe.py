@@ -1,21 +1,26 @@
-"""Round-composition split for the pipelined machine on the chip.
+"""Round-composition split for the pipelined machine on the chip, v2.
 
-Times, on a realistic warmed mid-render state at the given depth spec:
-  1. the stepper alone (k iterations, jitted),
-  2. the round-BOUNDARY block alone (finish_round + retire + transition +
-     refill, jitted together),
-  3. a full round (boundary + stepper(k)),
-so the steps-per-round optimum's driving ratio — boundary cost vs idle
-cost — has measured owners.  The d65 steps=48 optimum holds 40.5% idle
-(BENCH.md census); whether shorter rounds can convert it depends entirely
-on the boundary block's price, which this probe names.
+v1 timed individual boundary jits and was dominated by a ~67 ms fixed
+axon-tunnel host-transfer per call (finish_round alone "measured" 69.8 ms
+— the 512 KB leaf copy, not compute).  v2 measures what production runs:
+`_run_pipelined` scans (rounds inside jit — no per-round dispatch or
+transfer), differenced across n_rounds to get the true per-round cost and
+across steps to split it into stepper marginal vs boundary block:
 
-Usage: python scripts/round_split_probe.py [depth] [lanes] [steps]
+  per_round(s)   = [T(2R, s) - T(R, s)] / R
+  marginal       = [per_round(s1) - per_round(s0)] / (s1 - s0)
+  boundary_ms    = per_round(s) - s * marginal
+
+All timings on a warmed MID-RENDER state (freshly-refilled states inflate
+the stepper: every lane gathers the duplicate root row, the 1.45x
+bank-conflict regime of the round-3 probe).
+
+Usage: python scripts/round_split_probe.py [depth] [lanes] [s0] [s1]
 """
+import json
 import os
 import sys
 import time
-from functools import partial
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -34,106 +39,83 @@ from mitsuba3_experiments_tpu.core import math as m
 from mitsuba3_experiments_tpu.scene.flagship import load_flagship
 
 
-def bench(fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = np.inf
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        # host-copy one leaf: block_until_ready alone can report ~0.1 ms
-        # spuriously for repeat identical calls through the axon tunnel
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf[..., :1] if hasattr(leaf, "shape") and leaf.ndim
-                   else leaf)
-        best = min(best, time.perf_counter() - t0)
-    return best, out
-
-
 def main():
     depth = int(sys.argv[1]) if len(sys.argv) > 1 else 65
     lanes = int(sys.argv[2]) if len(sys.argv) > 2 else 65536
-    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 48
+    s0 = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    s1 = int(sys.argv[4]) if len(sys.argv) > 4 else 48
     w, h, spp = 1280, 720, 4
     print("device:", jax.devices()[0], flush=True)
     scene, _ = load_flagship(res=(w, h), spp=spp, tri_budget=2_000_000)
     unified, n_nodes = pp.unify_tables(scene.bvh)
     lay = scene.bvh.layout
     n_total = w * h * spp
-    n_pad = jnp.uint32(n_total)
-    rayL = jnp.zeros((n_total + 1, 3), m.Float)
     seed = jnp.uint32(1)
-    idx0 = jnp.uint32(0)
 
     # warm a mid-render state: run real rounds so phases/depths are typical
     st = pl.PipelinedState.empty(lanes, stack_depth=lay.stack)
+    rayL = jnp.zeros((n_total + 1, 3), m.Float)
     next_ray = jnp.zeros((), jnp.uint32)
     st, rayL, next_ray = pl._run_pipelined(
         scene, st, rayL, next_ray, seed, jnp.uint32(n_total), unified,
-        idx0, n_nodes=n_nodes, spp=spp, max_depth=depth, rr_depth=4,
-        steps=steps, n_rounds=12,
+        jnp.uint32(0), n_nodes=n_nodes, spp=spp, max_depth=depth,
+        rr_depth=4, steps=s1, n_rounds=12,
     )
     jax.block_until_ready(st.phase)
     print("# warmed 12 rounds", flush=True)
 
-    stepper = jax.jit(partial(pl._stepper, unified, n_nodes, layout=lay),
-                      static_argnames=("k",))
+    def copy_state():
+        return (
+            jax.tree_util.tree_map(lambda a: a + 0, st),
+            rayL + 0.0,
+            next_ray + 0,
+        )
 
-    @jax.jit
-    def boundary(st, rayL, next_ray):
-        st = pl._finish_round(st)
-        st, rayL = pl._retire_pipelined(st, rayL,
-                                        deferred_pad=(n_pad, idx0))
-        st = pl._transition_pipelined(scene, st, seed, max_depth=depth,
-                                      rr_depth=4)
-        st, next_ray = pl._refill_pipelined(
-            scene, st, next_ray, seed, spp=spp,
-            ray_end=jnp.uint32(n_total))
-        return st, rayL, next_ray
+    def timed_run(steps, n_rounds, reps=3):
+        kw = dict(n_nodes=n_nodes, spp=spp, max_depth=depth, rr_depth=4,
+                  steps=steps, n_rounds=n_rounds)
+        # compile + warm
+        c = copy_state()
+        out = pl._run_pipelined(scene, c[0], c[1], c[2], seed,
+                                jnp.uint32(n_total), unified,
+                                jnp.uint32(0), **kw)
+        jax.block_until_ready(out[0].phase)
+        best = np.inf
+        for _ in range(reps):
+            c = copy_state()
+            jax.block_until_ready(c[0].phase)
+            t0 = time.perf_counter()
+            o = pl._run_pipelined(scene, c[0], c[1], c[2], seed,
+                                  jnp.uint32(n_total), unified,
+                                  jnp.uint32(0), **kw)
+            # sync via a device-side scalar, not a bulk leaf copy (the
+            # v1 lesson: a 512 KB host copy through the tunnel is ~67 ms)
+            float(jnp.sum(o[0].tr_t))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    @jax.jit
-    def boundary_pieces(st, rayL, next_ray):
-        st = pl._finish_round(st)
-        return st, rayL, next_ray
+    res = {}
+    for s in (s0, s1):
+        tR = timed_run(s, 8)
+        t2R = timed_run(s, 16)
+        res[s] = (t2R - tR) / 8.0
+        print(f"# steps={s}: T(8r)={tR*1e3:.1f} ms  T(16r)={t2R*1e3:.1f} ms"
+              f"  per-round={res[s]*1e3:.2f} ms", flush=True)
 
-    t_fin, _ = bench(boundary_pieces, st, rayL, next_ray)
-
-    @jax.jit
-    def b_retire(st, rayL):
-        st2 = pl._finish_round(st)
-        return pl._retire_pipelined(st2, rayL, deferred_pad=(n_pad, idx0))
-
-    t_ret, _ = bench(b_retire, st, rayL)
-
-    @jax.jit
-    def b_trans(st):
-        return pl._transition_pipelined(
-            scene, pl._finish_round(st), seed, max_depth=depth,
-            rr_depth=4)
-
-    t_tr, _ = bench(b_trans, st)
-
-    t_bnd, (st2, rayL2, nr2) = bench(boundary, st, rayL, next_ray)
-    t_step, _ = bench(lambda s: stepper(st=s, k=steps), st2)
-    t_step1, _ = bench(lambda s: stepper(st=s, k=1), st2)
-
-    marginal = (t_step - t_step1) / (steps - 1)
-    print(f"# finish_round:            {t_fin*1e3:8.2f} ms")
-    print(f"# finish+retire:           {t_ret*1e3:8.2f} ms")
-    print(f"# finish+transition:       {t_tr*1e3:8.2f} ms")
-    print(f"# boundary total:          {t_bnd*1e3:8.2f} ms")
-    print(f"# stepper k={steps}:       {t_step*1e3:8.2f} ms "
-          f"({marginal*1e3:.3f} ms/iter marginal, "
-          f"{lanes*(steps-1)/ (t_step - t_step1) / 1e6:.1f}M rows/s)")
-    print(f"# round total:             {(t_bnd+t_step)*1e3:8.2f} ms; "
-          f"boundary share {t_bnd/(t_bnd+t_step)*100:.1f}%")
-    import json
+    marginal = (res[s1] - res[s0]) / (s1 - s0)
+    boundary = res[s1] - s1 * marginal
+    print(f"# stepper marginal: {marginal*1e3:.3f} ms/iter "
+          f"({lanes/marginal/1e6:.1f}M rows/s, "
+          f"{marginal/lanes*1e9:.2f} ns/row)")
+    print(f"# boundary block:   {boundary*1e3:.2f} ms/round "
+          f"(share at steps={s1}: {boundary/res[s1]*100:.1f}%, "
+          f"at steps={s0}: {boundary/res[s0]*100:.1f}%)")
     print(json.dumps({
-        "depth": depth, "lanes": lanes, "steps": steps,
-        "finish_ms": t_fin * 1e3, "finish_retire_ms": t_ret * 1e3,
-        "finish_transition_ms": t_tr * 1e3, "boundary_ms": t_bnd * 1e3,
-        "stepper_ms": t_step * 1e3, "marginal_ms_per_iter": marginal * 1e3,
-        "boundary_share": t_bnd / (t_bnd + t_step),
+        "depth": depth, "lanes": lanes,
+        "per_round_ms": {str(s): res[s] * 1e3 for s in res},
+        "marginal_ms_per_iter": marginal * 1e3,
+        "ns_per_row": marginal / lanes * 1e9,
+        "boundary_ms": boundary * 1e3,
     }))
 
 
