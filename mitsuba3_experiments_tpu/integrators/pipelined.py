@@ -65,37 +65,47 @@ PH_RETIRE = 9     # path finished; L awaits the deferred splat
 class PipelinedState:
     """Per-lane: S path slots (default 2) + one shared traversal engine.
 
-    Path-slot fields are (N, S) / (N, S, 3).  `Closure-class` fields are
-    written only at round transitions, so the stepper reads them as
-    loop-invariant closures and the fori_loop carry stays small (the
-    round-3 t-stack lesson: carry columns cost real streaming bandwidth).
+    Path-slot fields are stored SLOT-MAJOR (S, N) / (S, N, 3): a (N, S)
+    array has a 2-wide minor dimension — catastrophic TPU tiling (the
+    vector layout pads minors toward (8, 128); the round-4 census measured
+    the lane-major stepper at 1.44 ms/iter vs the single-path 0.82) — and
+    the round-5 parts probe showed the per-round transposes + minor-2
+    relayouts in the BOUNDARY block (finish/retire/transition/refill) were
+    a first-order cost too.  Slot-major everywhere kills every transpose;
+    lane sharding under shard_map uses PipelinedState.pspec() (slot fields
+    shard axis 1, engine fields axis 0).
+
+    `Closure-class` fields are written only at round transitions, so the
+    stepper reads them as loop-invariant closures and the fori_loop carry
+    stays small (the round-3 t-stack lesson: carry columns cost real
+    streaming bandwidth).
     """
 
     # ---- closure-class path state (constant within a round) ----
-    f: jnp.ndarray          # (N, 2, 3) throughput at the next ray
-    eta: jnp.ndarray        # (N, 2)
-    depth: jnp.ndarray      # (N, 2) i32
-    prev_p: jnp.ndarray     # (N, 2, 3)
-    prev_pdf: jnp.ndarray   # (N, 2)
-    prev_delta: jnp.ndarray  # (N, 2) bool
-    idx: jnp.ndarray        # (N, 2) u32 camera-ray index
-    nee_L: jnp.ndarray      # (N, 2, 3) pending NEE contribution
-    next_o: jnp.ndarray     # (N, 2, 3) next path ray (source for TRACE_*N)
-    next_d: jnp.ndarray     # (N, 2, 3)
-    cont: jnp.ndarray       # (N, 2) bool
-    qt_o: jnp.ndarray       # (N, 2, 3) transition-armed query (camera or
-    qt_d: jnp.ndarray       # (N, 2, 3)  shadow ray; source for *_PQ / _P)
-    qt_maxt: jnp.ndarray    # (N, 2)
-    sh_depth: jnp.ndarray   # (N, 2) i32 bounce of the pending shadow ray
+    f: jnp.ndarray          # (S, N, 3) throughput at the next ray
+    eta: jnp.ndarray        # (S, N)
+    depth: jnp.ndarray      # (S, N) i32
+    prev_p: jnp.ndarray     # (S, N, 3)
+    prev_pdf: jnp.ndarray   # (S, N)
+    prev_delta: jnp.ndarray  # (S, N) bool
+    idx: jnp.ndarray        # (S, N) u32 camera-ray index
+    nee_L: jnp.ndarray      # (S, N, 3) pending NEE contribution
+    next_o: jnp.ndarray     # (S, N, 3) next path ray (source for TRACE_*N)
+    next_d: jnp.ndarray     # (S, N, 3)
+    cont: jnp.ndarray       # (S, N) bool
+    qt_o: jnp.ndarray       # (S, N, 3) transition-armed query (camera or
+    qt_d: jnp.ndarray       # (S, N, 3)  shadow ray; source for *_PQ / _P)
+    qt_maxt: jnp.ndarray    # (S, N)
+    sh_depth: jnp.ndarray   # (S, N) i32 bounce of the pending shadow ray
     #                         (recorder bookkeeping; set at shading)
     # ---- carried path state (mutated inside the stepper) ----
-    phase: jnp.ndarray      # (N, 2) i32
+    phase: jnp.ndarray      # (S, N) i32
     own: jnp.ndarray        # (N,) i32 which slot owns the engine
-    L: jnp.ndarray          # (N, 2, 3)
-    h_t: jnp.ndarray        # (N, 2) saved trace hit
-    h_face: jnp.ndarray     # (N, 2) i32
-    h_u: jnp.ndarray        # (N, 2)
-    h_v: jnp.ndarray        # (N, 2)
+    L: jnp.ndarray          # (S, N, 3)
+    h_t: jnp.ndarray        # (S, N) saved trace hit
+    h_face: jnp.ndarray     # (S, N) i32
+    h_u: jnp.ndarray        # (S, N)
+    h_v: jnp.ndarray        # (S, N)
     # ---- shared traversal engine (as persistent.PersistentState) ----
     tr_o: jnp.ndarray       # (N, 3)
     tr_d: jnp.ndarray       # (N, 3)
@@ -107,20 +117,24 @@ class PipelinedState:
     tr_u: jnp.ndarray       # (N,)
     tr_v: jnp.ndarray       # (N,)
 
+    @property
+    def n_slots(self) -> int:
+        return self.phase.shape[0]
+
     @staticmethod
     def empty(n: int, stack_depth: int | None = None, n_slots: int = 2):
         sd = DEFAULT_LAYOUT.stack if stack_depth is None else stack_depth
         S = n_slots
-        z23 = lambda v=0.0: jnp.full((n, S, 3), v, m.Float)  # noqa: E731
-        z2 = lambda v=0.0: jnp.full((n, S), v, m.Float)      # noqa: E731
-        i2 = lambda v=0: jnp.full((n, S), v, jnp.int32)      # noqa: E731
+        z23 = lambda v=0.0: jnp.full((S, n, 3), v, m.Float)  # noqa: E731
+        z2 = lambda v=0.0: jnp.full((S, n), v, m.Float)      # noqa: E731
+        i2 = lambda v=0: jnp.full((S, n), v, jnp.int32)      # noqa: E731
         return PipelinedState(
             f=z23(1.0), eta=z2(1.0), depth=i2(1),
             prev_p=z23(), prev_pdf=z2(1.0),
-            prev_delta=jnp.ones((n, S), bool),
-            idx=jnp.zeros((n, S), jnp.uint32),
+            prev_delta=jnp.ones((S, n), bool),
+            idx=jnp.zeros((S, n), jnp.uint32),
             nee_L=z23(), next_o=z23(), next_d=z23(),
-            cont=jnp.zeros((n, S), bool),
+            cont=jnp.zeros((S, n), bool),
             qt_o=z23(), qt_d=z23(), qt_maxt=z2(), sh_depth=i2(1),
             phase=i2(PH_DEAD), own=jnp.zeros((n,), jnp.int32),
             L=z23(), h_t=z2(), h_face=i2(-1), h_u=z2(), h_v=z2(),
@@ -128,24 +142,30 @@ class PipelinedState:
             tr_cur=jnp.full((n,), DONE, jnp.int32),
             tr_sp=jnp.zeros((n,), jnp.int32),
             tr_stack=jnp.zeros((n, sd), jnp.int32),
-            tr_t=z2()[:, 0], tr_face=jnp.full((n,), -1, jnp.int32),
-            tr_u=z2()[:, 0], tr_v=z2()[:, 0],
+            tr_t=z2()[0], tr_face=jnp.full((n,), -1, jnp.int32),
+            tr_u=z2()[0], tr_v=z2()[0],
+        )
+
+    @staticmethod
+    def pspec(axis: str = "dp"):
+        """PartitionSpec pytree for lane sharding under shard_map: slot
+        fields (S, N, ...) shard axis 1, engine fields (N, ...) axis 0."""
+        from jax.sharding import PartitionSpec as P
+
+        lane0, slot1 = P(axis), P(None, axis)
+        return PipelinedState(
+            f=slot1, eta=slot1, depth=slot1, prev_p=slot1,
+            prev_pdf=slot1, prev_delta=slot1, idx=slot1, nee_L=slot1,
+            next_o=slot1, next_d=slot1, cont=slot1, qt_o=slot1,
+            qt_d=slot1, qt_maxt=slot1, sh_depth=slot1, phase=slot1,
+            own=lane0, L=slot1, h_t=slot1, h_face=slot1, h_u=slot1,
+            h_v=slot1, tr_o=lane0, tr_d=lane0, tr_cur=lane0, tr_sp=lane0,
+            tr_stack=lane0, tr_t=lane0, tr_face=lane0, tr_u=lane0,
+            tr_v=lane0,
         )
 
 
 # ---- slot helpers: pure elementwise selects, never gathers ----
-#
-# The hot loop operates on SLOT-MAJOR (2, N, ...) views: state is stored
-# lane-major (N, 2, ...) for natural shard_map lane sharding, but (N, 2)
-# arrays have a 2-wide minor dimension — catastrophic TPU tiling (the
-# vector layout pads minors toward (8, 128); the round-4 census measured
-# the lane-major stepper at 1.44 ms/iter vs the single-path 0.82).  The
-# stepper transposes once per ROUND (streaming copy, ~free) so every
-# per-iteration op runs on (N,)-minor arrays.
-
-def _to_sm(a):
-    """lane-major (N, 2, ...) -> slot-major (2, N, ...)."""
-    return jnp.swapaxes(a, 0, 1)
 
 
 def _sel(a, own):
@@ -271,15 +291,15 @@ def _complete_and_arm(cl, ph, own, L, h_t, h_face, h_u, h_v,
 
 
 def _slot_major_closures(st: PipelinedState):
-    """Transposed (2, N, ...) views of the closure-class fields the
-    scheduler reads every iteration — one streaming copy per round."""
+    """The closure-class fields the scheduler reads every iteration —
+    already slot-major in the state, no copies."""
     from types import SimpleNamespace
 
     return SimpleNamespace(
-        nee_L=_to_sm(st.nee_L), cont=_to_sm(st.cont),
-        next_o=_to_sm(st.next_o), next_d=_to_sm(st.next_d),
-        qt_o=_to_sm(st.qt_o), qt_d=_to_sm(st.qt_d),
-        qt_maxt=_to_sm(st.qt_maxt), sh_depth=_to_sm(st.sh_depth),
+        nee_L=st.nee_L, cont=st.cont,
+        next_o=st.next_o, next_d=st.next_d,
+        qt_o=st.qt_o, qt_d=st.qt_d,
+        qt_maxt=st.qt_maxt, sh_depth=st.sh_depth,
     )
 
 
@@ -289,7 +309,7 @@ def _stepper(unified, n_nodes: int, st: PipelinedState, k: int, *,
     """Advance the engines by at most k iterations, scheduling both slots
     (see module docstring).  The engine body is persistent._engine_step —
     identical traversal math to the single-path stepper.  With `occm`
-    (lane-major (N, 2, W), recorder), returns (state, occm).
+    ((S, W, N), recorder), returns (state, occm).
 
     `arm_every` (round-4 chunked arming): run the scheduler
     (_complete_and_arm) every arm_every-th engine iteration instead of
@@ -304,8 +324,6 @@ def _stepper(unified, n_nodes: int, st: PipelinedState, k: int, *,
     lay = layout if layout is not None else DEFAULT_LAYOUT
     cl = _slot_major_closures(st)
     rec = occm is not None
-    if rec:
-        occm = jnp.transpose(occm, (1, 2, 0))  # -> (2, W, N)
     ka = max(1, min(arm_every, k))
 
     def make_body(chunk_len):
@@ -354,8 +372,8 @@ def _stepper(unified, n_nodes: int, st: PipelinedState, k: int, *,
     # "at most k iterations" cost contract exact).
     n_full, rem = divmod(k, ka)
 
-    init = (_to_sm(st.phase), st.own, _to_sm(st.L), _to_sm(st.h_t),
-            _to_sm(st.h_face), _to_sm(st.h_u), _to_sm(st.h_v),
+    init = (st.phase, st.own, st.L, st.h_t,
+            st.h_face, st.h_u, st.h_v,
             st.tr_o, st.tr_d, st.tr_cur, st.tr_sp, st.tr_stack, st.tr_t,
             st.tr_face, st.tr_u, st.tr_v)
     if rec:
@@ -368,13 +386,13 @@ def _stepper(unified, n_nodes: int, st: PipelinedState, k: int, *,
     (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, stack, t,
      face, u, v) = fin[:16]
     st = dataclasses.replace(
-        st, phase=_to_sm(ph), own=own, L=_to_sm(L), h_t=_to_sm(h_t),
-        h_face=_to_sm(h_face), h_u=_to_sm(h_u), h_v=_to_sm(h_v),
+        st, phase=ph, own=own, L=L, h_t=h_t,
+        h_face=h_face, h_u=h_u, h_v=h_v,
         tr_o=tro, tr_d=trd, tr_cur=cur, tr_sp=sp, tr_stack=stack,
         tr_t=t, tr_face=face, tr_u=u, tr_v=v,
     )
     if rec:
-        return st, jnp.transpose(fin[16], (2, 0, 1))  # back to (N, 2, W)
+        return st, fin[16]
     return st
 
 
@@ -382,38 +400,38 @@ def _finish_round(st: PipelinedState, occm=None):
     """Round-boundary completion catch-up (the stepper handles completions
     at the TOP of each iteration, so the final iteration's completion is
     still pending here) — pure elementwise, includes re-arming.  occm is
-    lane-major (N, 2, W) as stored."""
+    (S, W, N) as stored."""
     out = _complete_and_arm(
-        _slot_major_closures(st), _to_sm(st.phase), st.own, _to_sm(st.L),
-        _to_sm(st.h_t), _to_sm(st.h_face), _to_sm(st.h_u), _to_sm(st.h_v),
+        _slot_major_closures(st), st.phase, st.own, st.L,
+        st.h_t, st.h_face, st.h_u, st.h_v,
         st.tr_o, st.tr_d, st.tr_cur, st.tr_sp, st.tr_t, st.tr_face,
         st.tr_u, st.tr_v,
-        occm=None if occm is None else jnp.transpose(occm, (1, 2, 0)),
+        occm=occm,
     )
     (ph, own, L, h_t, h_face, h_u, h_v, tro, trd, cur, sp, t, face, u,
      v) = out[:15]
     st = dataclasses.replace(
-        st, phase=_to_sm(ph), own=own, L=_to_sm(L), h_t=_to_sm(h_t),
-        h_face=_to_sm(h_face), h_u=_to_sm(h_u), h_v=_to_sm(h_v),
+        st, phase=ph, own=own, L=L, h_t=h_t,
+        h_face=h_face, h_u=h_u, h_v=h_v,
         tr_o=tro, tr_d=trd, tr_cur=cur, tr_sp=sp, tr_t=t,
         tr_face=face, tr_u=u, tr_v=v,
     )
     if occm is not None:
-        return st, jnp.transpose(out[15], (2, 0, 1))
+        return st, out[15]
     return st
 
 
 def _retire_pipelined(st: PipelinedState, rayL, *, deferred_pad):
     """Deferred splat of finished paths (both slots), as persistent._retire."""
     n_pad, idx0 = deferred_pad
-    for p in range(st.phase.shape[1]):
-        ret = st.phase[:, p] == PH_RETIRE
-        Lp = st.L[:, p]
-        dst = jnp.where(ret, st.idx[:, p] - idx0, n_pad)
+    for p in range(st.n_slots):
+        ret = st.phase[p] == PH_RETIRE
+        Lp = st.L[p]
+        dst = jnp.where(ret, st.idx[p] - idx0, n_pad)
         rayL = rayL.at[dst].set(jnp.where(jnp.isfinite(Lp), Lp, 0.0))
         st = dataclasses.replace(
-            st, phase=st.phase.at[:, p].set(
-                jnp.where(ret, PH_DEAD, st.phase[:, p])
+            st, phase=st.phase.at[p].set(
+                jnp.where(ret, PH_DEAD, st.phase[p])
             ),
         )
     return st, rayL
@@ -424,7 +442,7 @@ def _transition_pipelined(scene: Scene, st: PipelinedState, seed, *,
     """Shade both slots' READY paths with the shared persistent._shade
     core, then queue their shadow (or next/retire) work.
 
-    `rec` (recorder): (prim, u, v) tuple of (N, 2, D) slot-local record
+    `rec` (recorder): (prim, u, v) tuple of (S, N, D) slot-local record
     arrays; each shaded slot's saved hit is written at column depth-1 and
     its sh_depth bookkeeping set (the occlusion bit lands in the stepper's
     bitmask at resolve time).  Returns (st, rec) then."""
@@ -432,29 +450,29 @@ def _transition_pipelined(scene: Scene, st: PipelinedState, seed, *,
     if record:
         r_prim, r_u, r_v = rec
         colD = jnp.arange(r_prim.shape[2], dtype=jnp.int32)[None, :]
-    for p in range(st.phase.shape[1]):
-        ph = st.phase[:, p]
+    for p in range(st.n_slots):
+        ph = st.phase[p]
         doneA = (ph == PH_READY_Q) | (ph == PH_READY_N)
         if record:
-            sel = (colD == (st.depth[:, p] - 1)[:, None]) & doneA[:, None]
-            r_prim = r_prim.at[:, p].set(
-                jnp.where(sel, st.h_face[:, p][:, None], r_prim[:, p]))
-            r_u = r_u.at[:, p].set(
-                jnp.where(sel, st.h_u[:, p][:, None], r_u[:, p]))
-            r_v = r_v.at[:, p].set(
-                jnp.where(sel, st.h_v[:, p][:, None], r_v[:, p]))
+            sel = (colD == (st.depth[p] - 1)[:, None]) & doneA[:, None]
+            r_prim = r_prim.at[p].set(
+                jnp.where(sel, st.h_face[p][:, None], r_prim[p]))
+            r_u = r_u.at[p].set(
+                jnp.where(sel, st.h_u[p][:, None], r_u[p]))
+            r_v = r_v.at[p].set(
+                jnp.where(sel, st.h_v[p][:, None], r_v[p]))
             st = dataclasses.replace(
-                st, sh_depth=st.sh_depth.at[:, p].set(
-                    jnp.where(doneA, st.depth[:, p], st.sh_depth[:, p])),
+                st, sh_depth=st.sh_depth.at[p].set(
+                    jnp.where(doneA, st.depth[p], st.sh_depth[p])),
             )
         from_n = (ph == PH_READY_N)[:, None]
-        hit_o = jnp.where(from_n, st.next_o[:, p], st.qt_o[:, p])
-        hit_d = jnp.where(from_n, st.next_d[:, p], st.qt_d[:, p])
+        hit_o = jnp.where(from_n, st.next_o[p], st.qt_o[p])
+        hit_d = jnp.where(from_n, st.next_d[p], st.qt_d[p])
         sh = _shade(
-            scene, seed, doneA, hit_o, hit_d, st.h_t[:, p],
-            st.h_face[:, p], st.h_u[:, p], st.h_v[:, p], st.L[:, p],
-            st.f[:, p], st.eta[:, p], st.depth[:, p], st.prev_p[:, p],
-            st.prev_pdf[:, p], st.prev_delta[:, p], st.idx[:, p],
+            scene, seed, doneA, hit_o, hit_d, st.h_t[p],
+            st.h_face[p], st.h_u[p], st.h_v[p], st.L[p],
+            st.f[p], st.eta[p], st.depth[p], st.prev_p[p],
+            st.prev_pdf[p], st.prev_delta[p], st.idx[p],
             max_depth=max_depth, rr_depth=rr_depth,
         )
         d3 = doneA[:, None]
@@ -465,36 +483,36 @@ def _transition_pipelined(scene: Scene, st: PipelinedState, seed, *,
         )
         st = dataclasses.replace(
             st,
-            L=st.L.at[:, p].set(jnp.where(d3, sh.L, st.L[:, p])),
-            f=st.f.at[:, p].set(
-                jnp.where(adv[:, None], sh.f, st.f[:, p])),
-            eta=st.eta.at[:, p].set(
-                jnp.where(adv, sh.eta, st.eta[:, p])),
-            depth=st.depth.at[:, p].set(
-                jnp.where(adv, st.depth[:, p] + 1, st.depth[:, p])),
-            prev_p=st.prev_p.at[:, p].set(
-                jnp.where(d3, sh.p, st.prev_p[:, p])),
-            prev_pdf=st.prev_pdf.at[:, p].set(
-                jnp.where(doneA, sh.pdf, st.prev_pdf[:, p])),
-            prev_delta=st.prev_delta.at[:, p].set(
-                jnp.where(doneA, sh.delta, st.prev_delta[:, p])),
-            nee_L=st.nee_L.at[:, p].set(
-                jnp.where(d3, sh.nee_L, st.nee_L[:, p])),
-            next_o=st.next_o.at[:, p].set(
-                jnp.where(d3, sh.next_o, st.next_o[:, p])),
-            next_d=st.next_d.at[:, p].set(
-                jnp.where(d3, sh.next_d, st.next_d[:, p])),
-            cont=st.cont.at[:, p].set(
-                jnp.where(doneA, sh.cont, st.cont[:, p])),
-            qt_o=st.qt_o.at[:, p].set(jnp.where(
+            L=st.L.at[p].set(jnp.where(d3, sh.L, st.L[p])),
+            f=st.f.at[p].set(
+                jnp.where(adv[:, None], sh.f, st.f[p])),
+            eta=st.eta.at[p].set(
+                jnp.where(adv, sh.eta, st.eta[p])),
+            depth=st.depth.at[p].set(
+                jnp.where(adv, st.depth[p] + 1, st.depth[p])),
+            prev_p=st.prev_p.at[p].set(
+                jnp.where(d3, sh.p, st.prev_p[p])),
+            prev_pdf=st.prev_pdf.at[p].set(
+                jnp.where(doneA, sh.pdf, st.prev_pdf[p])),
+            prev_delta=st.prev_delta.at[p].set(
+                jnp.where(doneA, sh.delta, st.prev_delta[p])),
+            nee_L=st.nee_L.at[p].set(
+                jnp.where(d3, sh.nee_L, st.nee_L[p])),
+            next_o=st.next_o.at[p].set(
+                jnp.where(d3, sh.next_o, st.next_o[p])),
+            next_d=st.next_d.at[p].set(
+                jnp.where(d3, sh.next_d, st.next_d[p])),
+            cont=st.cont.at[p].set(
+                jnp.where(doneA, sh.cont, st.cont[p])),
+            qt_o=st.qt_o.at[p].set(jnp.where(
                 (doneA & sh.active_em)[:, None], sh.shadow_o,
-                st.qt_o[:, p])),
-            qt_d=st.qt_d.at[:, p].set(jnp.where(
+                st.qt_o[p])),
+            qt_d=st.qt_d.at[p].set(jnp.where(
                 (doneA & sh.active_em)[:, None], sh.shadow_d,
-                st.qt_d[:, p])),
-            qt_maxt=st.qt_maxt.at[:, p].set(jnp.where(
-                doneA & sh.active_em, sh.shadow_maxt, st.qt_maxt[:, p])),
-            phase=st.phase.at[:, p].set(new_ph),
+                st.qt_d[p])),
+            qt_maxt=st.qt_maxt.at[p].set(jnp.where(
+                doneA & sh.active_em, sh.shadow_maxt, st.qt_maxt[p])),
+            phase=st.phase.at[p].set(new_ph),
         )
     return (st, (r_prim, r_u, r_v)) if record else st
 
@@ -502,8 +520,8 @@ def _transition_pipelined(scene: Scene, st: PipelinedState, seed, *,
 def _refill_pipelined(scene: Scene, st: PipelinedState, next_ray, seed, *,
                       spp: int, ray_end):
     """Dead slots take fresh camera rays (prefix-sum ranked per slot)."""
-    for p in range(st.phase.shape[1]):
-        dead = st.phase[:, p] == PH_DEAD
+    for p in range(st.n_slots):
+        dead = st.phase[p] == PH_DEAD
         di = dead.astype(jnp.int32)
         rank = jnp.cumsum(di) - di
         new_idx = next_ray + rank.astype(jnp.uint32)
@@ -513,31 +531,31 @@ def _refill_pipelined(scene: Scene, st: PipelinedState, next_ray, seed, *,
         t3 = take[:, None]
         st = dataclasses.replace(
             st,
-            L=st.L.at[:, p].set(jnp.where(t3, 0.0, st.L[:, p])),
-            f=st.f.at[:, p].set(jnp.where(t3, 1.0, st.f[:, p])),
-            eta=st.eta.at[:, p].set(jnp.where(take, 1.0, st.eta[:, p])),
-            depth=st.depth.at[:, p].set(
-                jnp.where(take, 1, st.depth[:, p])),
-            prev_p=st.prev_p.at[:, p].set(
-                jnp.where(t3, ray.o, st.prev_p[:, p])),
-            prev_pdf=st.prev_pdf.at[:, p].set(
-                jnp.where(take, 1.0, st.prev_pdf[:, p])),
-            prev_delta=st.prev_delta.at[:, p].set(
-                jnp.where(take, True, st.prev_delta[:, p])),
-            idx=st.idx.at[:, p].set(
-                jnp.where(take, new_idx, st.idx[:, p])),
-            nee_L=st.nee_L.at[:, p].set(
-                jnp.where(t3, 0.0, st.nee_L[:, p])),
-            cont=st.cont.at[:, p].set(
-                jnp.where(take, False, st.cont[:, p])),
-            qt_o=st.qt_o.at[:, p].set(
-                jnp.where(t3, ray.o, st.qt_o[:, p])),
-            qt_d=st.qt_d.at[:, p].set(
-                jnp.where(t3, ray.d, st.qt_d[:, p])),
-            qt_maxt=st.qt_maxt.at[:, p].set(
-                jnp.where(take, jnp.inf, st.qt_maxt[:, p])),
-            phase=st.phase.at[:, p].set(
-                jnp.where(take, PH_TRACE_PQ, st.phase[:, p])),
+            L=st.L.at[p].set(jnp.where(t3, 0.0, st.L[p])),
+            f=st.f.at[p].set(jnp.where(t3, 1.0, st.f[p])),
+            eta=st.eta.at[p].set(jnp.where(take, 1.0, st.eta[p])),
+            depth=st.depth.at[p].set(
+                jnp.where(take, 1, st.depth[p])),
+            prev_p=st.prev_p.at[p].set(
+                jnp.where(t3, ray.o, st.prev_p[p])),
+            prev_pdf=st.prev_pdf.at[p].set(
+                jnp.where(take, 1.0, st.prev_pdf[p])),
+            prev_delta=st.prev_delta.at[p].set(
+                jnp.where(take, True, st.prev_delta[p])),
+            idx=st.idx.at[p].set(
+                jnp.where(take, new_idx, st.idx[p])),
+            nee_L=st.nee_L.at[p].set(
+                jnp.where(t3, 0.0, st.nee_L[p])),
+            cont=st.cont.at[p].set(
+                jnp.where(take, False, st.cont[p])),
+            qt_o=st.qt_o.at[p].set(
+                jnp.where(t3, ray.o, st.qt_o[p])),
+            qt_d=st.qt_d.at[p].set(
+                jnp.where(t3, ray.d, st.qt_d[p])),
+            qt_maxt=st.qt_maxt.at[p].set(
+                jnp.where(take, jnp.inf, st.qt_maxt[p])),
+            phase=st.phase.at[p].set(
+                jnp.where(take, PH_TRACE_PQ, st.phase[p])),
         )
         next_ray = next_ray + jnp.sum(take.astype(jnp.uint32))
     return st, next_ray
@@ -643,12 +661,14 @@ def _flush_record_pipelined(st: PipelinedState, occm, r_prim, r_u, r_v,
     D = r_prim.shape[2]
     n_pad = glob.shape[0] - 1
     colD = jnp.arange(D, dtype=jnp.uint32)
-    for p in range(st.phase.shape[1]):
-        ret = st.phase[:, p] == PH_RETIRE
-        # unpack occlusion bits for this slot: (N, D) f32
-        words = occm[:, p, (colD // 32).astype(jnp.int32)]  # static idx
-        occf = ((words >> (colD % 32)[None, :]) & 1).astype(jnp.float32)
-        Lp = st.L[:, p]
+    for p in range(st.n_slots):
+        ret = st.phase[p] == PH_RETIRE
+        # unpack occlusion bits for this slot: (N, D) f32 — occm is
+        # (S, W, N), so the static word pick gives (D, N) and one
+        # transpose per round per slot restores record layout
+        words = occm[p, (colD // 32).astype(jnp.int32)]  # (D, N)
+        occf = ((words >> (colD % 32)[:, None]) & 1).astype(jnp.float32).T
+        Lp = st.L[p]
         L_row = jnp.concatenate(
             [jnp.where(jnp.isfinite(Lp), Lp, 0.0),
              jnp.zeros((Lp.shape[0], 1), Lp.dtype)], axis=-1,
@@ -657,9 +677,9 @@ def _flush_record_pipelined(st: PipelinedState, occm, r_prim, r_u, r_v,
             [
                 jnp.stack(
                     [
-                        _prim_encode(r_prim[:, p]),
-                        r_u[:, p],
-                        r_v[:, p],
+                        _prim_encode(r_prim[p]),
+                        r_u[p],
+                        r_v[p],
                         occf,
                     ],
                     axis=-1,
@@ -668,20 +688,20 @@ def _flush_record_pipelined(st: PipelinedState, occm, r_prim, r_u, r_v,
             ],
             axis=1,
         )
-        dst = jnp.where(ret, st.idx[:, p] - jnp.uint32(idx0),
+        dst = jnp.where(ret, st.idx[p] - jnp.uint32(idx0),
                         jnp.uint32(n_pad))
         glob = glob.at[dst].set(packed)
         st = dataclasses.replace(
-            st, phase=st.phase.at[:, p].set(
-                jnp.where(ret, PH_DEAD, st.phase[:, p])),
+            st, phase=st.phase.at[p].set(
+                jnp.where(ret, PH_DEAD, st.phase[p])),
         )
         # clear the freed slot's local record so a refill starts clean
         r3 = ret[:, None]
-        r_prim = r_prim.at[:, p].set(jnp.where(r3, -1, r_prim[:, p]))
-        r_u = r_u.at[:, p].set(jnp.where(r3, 0.0, r_u[:, p]))
-        r_v = r_v.at[:, p].set(jnp.where(r3, 0.0, r_v[:, p]))
-        occm = occm.at[:, p].set(
-            jnp.where(r3, jnp.uint32(0), occm[:, p]))
+        r_prim = r_prim.at[p].set(jnp.where(r3, -1, r_prim[p]))
+        r_u = r_u.at[p].set(jnp.where(r3, 0.0, r_u[p]))
+        r_v = r_v.at[p].set(jnp.where(r3, 0.0, r_v[p]))
+        occm = occm.at[p].set(
+            jnp.where(ret[None, :], jnp.uint32(0), occm[p]))
     return st, occm, r_prim, r_u, r_v, glob
 
 
@@ -755,10 +775,10 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
     st = PipelinedState.empty(n_lanes, stack_depth=lay.stack,
                               n_slots=n_slots)
     W = (max_depth + 31) // 32
-    occm = jnp.zeros((n_lanes, n_slots, W), jnp.uint32)
-    r_prim = jnp.full((n_lanes, n_slots, max_depth), -1, jnp.int32)
-    r_u = jnp.zeros((n_lanes, n_slots, max_depth), jnp.float32)
-    r_v = jnp.zeros((n_lanes, n_slots, max_depth), jnp.float32)
+    occm = jnp.zeros((n_slots, W, n_lanes), jnp.uint32)
+    r_prim = jnp.full((n_slots, n_lanes, max_depth), -1, jnp.int32)
+    r_u = jnp.zeros((n_slots, n_lanes, max_depth), jnp.float32)
+    r_v = jnp.zeros((n_slots, n_lanes, max_depth), jnp.float32)
     # glob rows: [0:D] record layout, row D = flushed radiance (L.rgb, 0)
     glob = jnp.tile(
         jnp.concatenate([

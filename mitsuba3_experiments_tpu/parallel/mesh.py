@@ -203,13 +203,16 @@ def render_persistent_sharded(scene, mesh: Mesh, seed: int = 0,
         )
         return st, rl[None], nr[None]
 
+    # pipelined slot fields are slot-major (S, N, ...): shard axis 1
+    stspec = (_State.pspec("dp") if scheduler == "pipelined"
+              else P("dp"))
     shard_fn = jax.jit(
         jax.shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+            in_specs=(P(), stspec, P("dp"), P("dp"), P("dp"), P("dp"),
                       P(), P()),
-            out_specs=(P("dp"), P("dp"), P("dp")),
+            out_specs=(stspec, P("dp"), P("dp")),
             check_vma=False,
         ),
         donate_argnums=(1, 2, 3),
@@ -364,23 +367,29 @@ def sharded_replay_grad(scene, params, target, seed, mesh: Mesh, *,
             )
             return st, occm, r_prim, r_u, r_v, g[None], nr[None]
 
+        # slot-major layouts: state via pspec (slot fields shard axis 1),
+        # occm (S, W, N) axis 2, record arrays (S, N, D) axis 1
+        sspec = pl.PipelinedState.pspec("dp")
         rec_fn = jax.jit(
             jax.shard_map(
                 dev_record2, mesh=mesh,
-                in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"),
-                          P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                in_specs=(P(), sspec, P(None, None, "dp"),
+                          P(None, "dp"), P(None, "dp"), P(None, "dp"),
+                          P("dp"), P("dp"), P("dp"), P("dp"),
                           P(), P()),
-                out_specs=(P("dp"),) * 7,
+                out_specs=(sspec, P(None, None, "dp"), P(None, "dp"),
+                           P(None, "dp"), P(None, "dp"), P("dp"),
+                           P("dp")),
                 check_vma=False,
             ),
             donate_argnums=(1, 2, 3, 4, 5, 6, 7),
         )
         st = pl.PipelinedState.empty(lanes * ndev, stack_depth=sd)
         W = (max_depth + 31) // 32
-        occm = jnp.zeros((lanes * ndev, 2, W), jnp.uint32)
-        r_prim = jnp.full((lanes * ndev, 2, D), -1, jnp.int32)
-        r_u = jnp.zeros((lanes * ndev, 2, D), jnp.float32)
-        r_v = jnp.zeros((lanes * ndev, 2, D), jnp.float32)
+        occm = jnp.zeros((2, W, lanes * ndev), jnp.uint32)
+        r_prim = jnp.full((2, lanes * ndev, D), -1, jnp.int32)
+        r_u = jnp.zeros((2, lanes * ndev, D), jnp.float32)
+        r_v = jnp.zeros((2, lanes * ndev, D), jnp.float32)
         while True:
             st, occm, r_prim, r_u, r_v, glob, cursors = rec_fn(
                 scene, st, occm, r_prim, r_u, r_v, glob, cursors, starts,

@@ -54,16 +54,16 @@ def _census_stepper(unified, n_nodes, lay, st, k, census):
         return (ph, own, L, h_t, h_face, h_u, h_v,
                 tro, trd, cur, sp, stack, t, face, u, v, census)
 
-    init = (pl._to_sm(st.phase), st.own, pl._to_sm(st.L),
-            pl._to_sm(st.h_t), pl._to_sm(st.h_face), pl._to_sm(st.h_u),
-            pl._to_sm(st.h_v),
+    init = ((st.phase), st.own, (st.L),
+            (st.h_t), (st.h_face), (st.h_u),
+            (st.h_v),
             st.tr_o, st.tr_d, st.tr_cur, st.tr_sp, st.tr_stack, st.tr_t,
             st.tr_face, st.tr_u, st.tr_v, census)
     fin = jax.lax.fori_loop(0, k, body, init)
     st = dataclasses.replace(
-        st, phase=pl._to_sm(fin[0]), own=fin[1], L=pl._to_sm(fin[2]),
-        h_t=pl._to_sm(fin[3]), h_face=pl._to_sm(fin[4]),
-        h_u=pl._to_sm(fin[5]), h_v=pl._to_sm(fin[6]), tr_o=fin[7],
+        st, phase=(fin[0]), own=fin[1], L=(fin[2]),
+        h_t=(fin[3]), h_face=(fin[4]),
+        h_u=(fin[5]), h_v=(fin[6]), tr_o=fin[7],
         tr_d=fin[8], tr_cur=fin[9],
         tr_sp=fin[10], tr_stack=fin[11], tr_t=fin[12], tr_face=fin[13],
         tr_u=fin[14], tr_v=fin[15],
