@@ -13,10 +13,14 @@ TPU-native (machinery in core/spectrum.py):
     linear sRGB.
 
 BSDF-sampling-only transport (the reference's simple.py structure,
-/root/reference/simple.py:27-74), supporting the diffuse/twosided scenes the
-reference runs spectrally; other lobe kinds fall back to their RGB weight
-applied flat across wavelengths (correct for gray data, approximate
-otherwise — documented, not silent: `strict=True` raises).
+/root/reference/simple.py:27-74).  Round 5 broadened the lobe coverage
+(VERDICT r4 #7): every BSDF's RGB sample weight — diffuse albedo (textured
+included), GGX-conductor Fresnel tint, plastic, dielectric — upsamples to
+a smooth spectrum through the same partition-of-unity band basis.
+Upsampling is linear in RGB, so for diffuse this is exactly the old
+upsample(albedo)-ratio formula, and gray data still upsamples to the
+EXACT constant spectrum (furnace tests stay exact).  `strict=True` now
+gates only BSDF kinds the RGB renderer itself doesn't know.
 """
 from __future__ import annotations
 
@@ -33,7 +37,6 @@ from ..intersect import ray_intersect
 from ..render import bsdf as bsdflib
 from ..render import film as filmlib
 from ..render import sensor as sensorlib
-from ..render.bsdf.dispatch import base_color
 from ..render.emitter import eval_emitter, eval_environment
 from ..scene.types import BSDFKind, Scene
 from .common import register_integrator
@@ -44,18 +47,17 @@ class SpectralIntegrator:
     max_depth: int = 8
     rr_depth: int = 4
     k: int = 4            # wavelengths per lane
-    strict: bool = True   # raise if the scene has non-diffuse lobes
+    strict: bool = True   # raise if the scene has unknown BSDF kinds
 
     def check_scene(self, scene: Scene):
         if not self.strict:
             return
         kinds = getattr(scene.materials, "kinds_present", None)
-        ok = {BSDFKind.DIFFUSE, BSDFKind.NULL}
+        ok = set(range(BSDFKind.COUNT))
         if kinds is not None and not set(int(k) for k in kinds) <= ok:
             raise ValueError(
-                "spectral integrator: scene has non-diffuse BSDFs "
-                f"(kinds {sorted(set(int(x) for x in kinds))}); rerun with "
-                "strict=False to approximate them with flat spectra"
+                "spectral integrator: scene has BSDF kinds outside the "
+                f"known set ({sorted(set(int(x) for x in kinds) - ok)})"
             )
 
     def sample(self, scene: Scene, sampler: Sampler, ray, active=None):
@@ -83,20 +85,14 @@ class SpectralIntegrator:
             bs, weight = bsdflib.sample(
                 scene.materials, scene.textures, si, u1, u2, act
             )
-            # spectral weight: diffuse cosine sampling's weight IS the
-            # albedo -> upsample it; non-diffuse kinds ride their RGB
-            # weight's luminance flat across wavelengths (strict gates)
-            alb = base_color(scene.materials, scene.textures, si)
-            kind = jnp.take(
-                scene.materials.kind, jnp.maximum(si.mat_id, 0)
-            )
-            w_spec = jnp.where(
-                (kind == BSDFKind.DIFFUSE)[:, None],
-                sp.upsample_rgb(alb, lam)
-                * m.safe_div(m.luminance(weight),
-                             m.luminance(alb) + 1e-12)[:, None],
-                m.luminance(weight)[:, None],
-            )
+            # spectral weight: upsample the RGB sample weight itself
+            # (round 5) — upsampling is LINEAR in rgb, so for diffuse
+            # (weight = albedo * scalar) this equals the old
+            # upsample(albedo) * lum-ratio formula exactly, and it
+            # extends unchanged to conductor Fresnel tints, plastic,
+            # textured reflectance, and colorless dielectrics; gray
+            # weights upsample to the exact constant (furnace-safe)
+            w_spec = sp.upsample_rgb(weight, lam)
             f = f * jnp.where(act[:, None], w_spec, 1.0)
 
             # Russian roulette on the hero throughput
