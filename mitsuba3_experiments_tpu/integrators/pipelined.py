@@ -437,6 +437,37 @@ def _retire_pipelined(st: PipelinedState, rayL, *, deferred_pad):
     return st, rayL
 
 
+def _retire_dense(st: PipelinedState, rayG, idx0):
+    """Generation-indexed DENSE retire (round-5): with strided ray
+    ownership (ray idx = idx0 + g*S*N + p*N + i — see _refill_strided),
+    a retiring slot's destination is a deterministic function of (g, p,
+    lane), so the deferred-radiance write is a dense `where` over the
+    (G, N) generation plane instead of a scatter.  The round-5 scatter
+    probe measured scatter-SET at a flat ~52 ns/row (no duplicate or
+    pad discount — issue-bound per row): the two per-slot 65k-row
+    scatters cost 6.8 ms EVERY round regardless of how few slots
+    actually retire, while this dense form streams G*N rows (~0.2 ms at
+    the flagship G=29).  rayG is (G, S, N, 3); reshape(-1, 3) is ray
+    order."""
+    G, S, n = rayG.shape[0], rayG.shape[1], rayG.shape[2]
+    gi = jnp.arange(G, dtype=jnp.uint32)[:, None]
+    for p in range(S):
+        ret = st.phase[p] == PH_RETIRE
+        g = (st.idx[p] - idx0) // jnp.uint32(S * n)
+        cond = (gi == g[None, :]) & ret[None, :]
+        Lp = st.L[p]
+        Lp = jnp.where(jnp.isfinite(Lp), Lp, 0.0)
+        rayG = rayG.at[:, p].set(
+            jnp.where(cond[..., None], Lp[None], rayG[:, p])
+        )
+        st = dataclasses.replace(
+            st, phase=st.phase.at[p].set(
+                jnp.where(ret, PH_DEAD, st.phase[p])
+            ),
+        )
+    return st, rayG
+
+
 def _transition_pipelined(scene: Scene, st: PipelinedState, seed, *,
                           max_depth: int, rr_depth: int, rec=None):
     """Shade both slots' READY paths with the shared persistent._shade
@@ -518,13 +549,28 @@ def _transition_pipelined(scene: Scene, st: PipelinedState, seed, *,
 
 
 def _refill_pipelined(scene: Scene, st: PipelinedState, next_ray, seed, *,
-                      spp: int, ray_end):
-    """Dead slots take fresh camera rays (prefix-sum ranked per slot)."""
+                      spp: int, ray_end, strided: bool = False):
+    """Dead slots take fresh camera rays (prefix-sum ranked per slot).
+
+    `strided=True` (round-5 dense-retire mode): slot (p, lane i) OWNS the
+    strided ray subsequence idx0 + g*S*N + p*N + i, g = 0,1,... — no
+    prefix-sum allocation, and retire destinations become gen-indexed
+    (see _retire_dense).  Estimates are identical either way (RNG and
+    shading key on the RAY index, never the lane), only which lane traces
+    which ray changes.  next_ray still accumulates the number of taken
+    rays, so the host poll's completion condition is unchanged."""
+    S = st.n_slots
+    n = st.phase.shape[1]
     for p in range(st.n_slots):
         dead = st.phase[p] == PH_DEAD
-        di = dead.astype(jnp.int32)
-        rank = jnp.cumsum(di) - di
-        new_idx = next_ray + rank.astype(jnp.uint32)
+        if strided:
+            # idx holds the slot's PREVIOUS ray (init: one stride below
+            # the first owned ray, exact under uint32 wraparound)
+            new_idx = st.idx[p] + jnp.uint32(S * n)
+        else:
+            di = dead.astype(jnp.int32)
+            rank = jnp.cumsum(di) - di
+            new_idx = next_ray + rank.astype(jnp.uint32)
         take = dead & (new_idx < jnp.uint32(ray_end))
         pos = ray_positions(scene.camera, seed, new_idx, spp)
         ray = sensorlib.sample_ray(scene.camera, pos)
@@ -564,26 +610,35 @@ def _refill_pipelined(scene: Scene, st: PipelinedState, next_ray, seed, *,
 @partial(
     jax.jit,
     static_argnames=("n_nodes", "spp", "max_depth", "rr_depth", "steps",
-                     "n_rounds", "idle_spread", "arm_every"),
+                     "n_rounds", "idle_spread", "arm_every", "dense"),
     donate_argnums=(1, 2, 3),
 )
 def _run_pipelined(scene: Scene, st: PipelinedState, rayL, next_ray,
                    seed, ray_end, unified, idx0, *, n_nodes: int, spp: int,
                    max_depth: int, rr_depth: int, steps: int,
                    n_rounds: int, idle_spread: bool = True,
-                   arm_every: int = 1):
+                   arm_every: int = 1, dense: bool = False):
+    """`dense=False`: rayL is the (rows+1, 3) deferred-radiance buffer,
+    retire scatters (legacy).  `dense=True`: rayL is the (G, S, N, 3)
+    generation buffer, refill is strided and retire is the dense
+    gen-indexed write (round-5; see _retire_dense)."""
     n_pad = jnp.uint32(rayL.shape[0] - 1)
     layout = scene.bvh.layout
 
     def one_round(carry, _):
         st, rayL, next_ray = carry
         st = _finish_round(st)
-        st, rayL = _retire_pipelined(st, rayL, deferred_pad=(n_pad, idx0))
+        if dense:
+            st, rayL = _retire_dense(st, rayL, idx0)
+        else:
+            st, rayL = _retire_pipelined(
+                st, rayL, deferred_pad=(n_pad, idx0))
         st = _transition_pipelined(
             scene, st, seed, max_depth=max_depth, rr_depth=rr_depth
         )
         st, next_ray = _refill_pipelined(
-            scene, st, next_ray, seed, spp=spp, ray_end=ray_end
+            scene, st, next_ray, seed, spp=spp, ray_end=ray_end,
+            strided=dense,
         )
         st = _stepper(unified, n_nodes, st, steps, layout=layout,
                       idle_spread=idle_spread, arm_every=arm_every)
@@ -604,35 +659,53 @@ def render_pipelined(scene: Scene, seed: int = 0, spp: int = 16,
                      max_depth: int = 16, rr_depth: int = 4,
                      rfilter: str = "box", n_lanes: int = 32768,
                      steps: int = 16, rounds_per_launch: int = 8,
-                     n_slots: int = 2, arm_every: int = 1):
+                     n_slots: int = 2, arm_every: int = 1,
+                     retire: str = "auto", gen_cap: int = 64):
     """Full-frame render with the S-slot pipelined machine.  Per-ray
     radiance is identical to render_persistent (same RNG dims, same
     shading core) — only the engine scheduling differs.  `n_slots` is the
     in-flight paths per lane (2 = the round-4 two-path machine);
     `arm_every` chunks the scheduler to every k-th engine iteration
-    (see _stepper)."""
+    (see _stepper).
+
+    `retire`: "dense" uses strided ray ownership + the gen-indexed dense
+    retire (round-5, replaces the two ~52 ns/row per-slot scatters);
+    "scatter" the legacy prefix-sum refill + scatter retire; "auto"
+    picks dense when the generation count G = ceil(rays / (S*N)) fits
+    `gen_cap` (the dense write streams G*N rows per round)."""
     w, h = scene.camera.resolution
     n_total = w * h * spp
     n_lanes = min(n_lanes, max(n_total // n_slots, 1))
 
     seed_u = jnp.uint32(seed)
-    rayL = jnp.zeros((n_total + 1, 3), m.Float)
     lay = scene.bvh.layout or DEFAULT_LAYOUT
     st = PipelinedState.empty(n_lanes, stack_depth=lay.stack,
                               n_slots=n_slots)
     next_ray = jnp.zeros((), jnp.uint32)
     unified, n_nodes = unify_tables(scene.bvh)
     idx0 = jnp.uint32(0)
+    G = (n_total + n_slots * n_lanes - 1) // (n_slots * n_lanes)
+    dense = retire == "dense" or (retire == "auto" and G <= gen_cap)
+    if dense:
+        rayL = jnp.zeros((G, n_slots, n_lanes, 3), m.Float)
+        iota = jnp.arange(n_lanes, dtype=jnp.uint32)
+        st = dataclasses.replace(st, idx=jnp.stack(
+            [idx0 + jnp.uint32(p * n_lanes) + iota
+             - jnp.uint32(n_slots * n_lanes) for p in range(n_slots)]))
+    else:
+        rayL = jnp.zeros((n_total + 1, 3), m.Float)
     while True:
         st, rayL, next_ray = _run_pipelined(
             scene, st, rayL, next_ray, seed_u, jnp.uint32(n_total),
             unified, idx0, n_nodes=n_nodes, spp=spp, max_depth=max_depth,
             rr_depth=rr_depth, steps=steps, n_rounds=rounds_per_launch,
-            arm_every=arm_every,
+            arm_every=arm_every, dense=dense,
         )
         n_alive, cursor = jax.device_get(_poll2(st, next_ray))
         if int(cursor) >= n_total and int(n_alive) == 0:
             break
+    if dense:
+        rayL = rayL.reshape(G * n_slots * n_lanes, 3)
     film = splat_deferred(
         scene.camera, seed_u, rayL[:n_total], idx0, jnp.uint32(n_total),
         spp=spp, rfilter=rfilter, w=w, h=h,
@@ -705,10 +778,62 @@ def _flush_record_pipelined(st: PipelinedState, occm, r_prim, r_u, r_v,
     return st, occm, r_prim, r_u, r_v, glob
 
 
+def _flush_record_dense(st: PipelinedState, occm, r_prim, r_u, r_v,
+                        globG, idx0):
+    """Gen-indexed DENSE record flush (round-5): the strided-ownership
+    analog of _flush_record_pipelined.  globG is (G, S, N, D+1, 4); a
+    retiring slot's rows land at its generation plane via a dense `where`
+    instead of the per-slot packed scatter (the round-5 scatter probe:
+    scatter cost is per-row AND grows with row width — the d8 recorder
+    paid ~13 ms/round for 2x65k scatter rows of 36 floats, vs ~0.5 GB of
+    streaming here).  reshape(G*S*N, D+1, 4) is ray order."""
+    from .replay import _prim_encode
+    G = globG.shape[0]
+    D = r_prim.shape[2]
+    n = st.phase.shape[1]
+    S = st.n_slots
+    colD = jnp.arange(D, dtype=jnp.uint32)
+    gi = jnp.arange(G, dtype=jnp.uint32)[:, None]
+    for p in range(S):
+        ret = st.phase[p] == PH_RETIRE
+        words = occm[p, (colD // 32).astype(jnp.int32)]  # (D, N)
+        occf = ((words >> (colD % 32)[:, None]) & 1).astype(jnp.float32).T
+        Lp = st.L[p]
+        L_row = jnp.concatenate(
+            [jnp.where(jnp.isfinite(Lp), Lp, 0.0),
+             jnp.zeros((Lp.shape[0], 1), Lp.dtype)], axis=-1,
+        )
+        packed = jnp.concatenate(
+            [
+                jnp.stack(
+                    [_prim_encode(r_prim[p]), r_u[p], r_v[p], occf],
+                    axis=-1,
+                ),
+                L_row[:, None, :],
+            ],
+            axis=1,
+        )  # (N, D+1, 4)
+        g = (st.idx[p] - jnp.uint32(idx0)) // jnp.uint32(S * n)
+        cond = (gi == g[None, :]) & ret[None, :]        # (G, N)
+        globG = globG.at[:, p].set(jnp.where(
+            cond[:, :, None, None], packed[None], globG[:, p]))
+        st = dataclasses.replace(
+            st, phase=st.phase.at[p].set(
+                jnp.where(ret, PH_DEAD, st.phase[p])),
+        )
+        r3 = ret[:, None]
+        r_prim = r_prim.at[p].set(jnp.where(r3, -1, r_prim[p]))
+        r_u = r_u.at[p].set(jnp.where(r3, 0.0, r_u[p]))
+        r_v = r_v.at[p].set(jnp.where(r3, 0.0, r_v[p]))
+        occm = occm.at[p].set(
+            jnp.where(ret[None, :], jnp.uint32(0), occm[p]))
+    return st, occm, r_prim, r_u, r_v, globG
+
+
 @partial(
     jax.jit,
     static_argnames=("n_nodes", "spp", "max_depth", "rr_depth", "steps",
-                     "n_rounds", "idle_spread", "arm_every"),
+                     "n_rounds", "idle_spread", "arm_every", "dense"),
     donate_argnums=(1, 2, 3, 4, 5, 6, 7),
 )
 def _run_record_pipelined(scene: Scene, st: PipelinedState, occm, r_prim,
@@ -716,25 +841,33 @@ def _run_record_pipelined(scene: Scene, st: PipelinedState, occm, r_prim,
                           unified, idx0=0, *, n_nodes: int, spp: int,
                           max_depth: int, rr_depth: int, steps: int,
                           n_rounds: int, idle_spread: bool = True,
-                          arm_every: int = 1):
+                          arm_every: int = 1, dense: bool = False):
     """Recorder rounds on the two-path machine: the refill+flush design of
     replay._run_record_full with the pipelined scheduler underneath.
     `glob` is (rows+1, D+1, 4): record rows plus the radiance row D (see
-    _flush_record_pipelined)."""
+    _flush_record_pipelined) — or, with dense=True (round-5 strided
+    ownership), the (G, S, N, D+1, 4) generation buffer of
+    _flush_record_dense."""
     layout = scene.bvh.layout
 
     def one_round(carry, _):
         st, occm, r_prim, r_u, r_v, glob, next_ray = carry
         st, occm = _finish_round(st, occm=occm)
-        st, occm, r_prim, r_u, r_v, glob = _flush_record_pipelined(
-            st, occm, r_prim, r_u, r_v, glob, idx0,
-        )
+        if dense:
+            st, occm, r_prim, r_u, r_v, glob = _flush_record_dense(
+                st, occm, r_prim, r_u, r_v, glob, idx0,
+            )
+        else:
+            st, occm, r_prim, r_u, r_v, glob = _flush_record_pipelined(
+                st, occm, r_prim, r_u, r_v, glob, idx0,
+            )
         st, (r_prim, r_u, r_v) = _transition_pipelined(
             scene, st, seed, max_depth=max_depth, rr_depth=rr_depth,
             rec=(r_prim, r_u, r_v),
         )
         st, next_ray = _refill_pipelined(
-            scene, st, next_ray, seed, spp=spp, ray_end=ray_end
+            scene, st, next_ray, seed, spp=spp, ray_end=ray_end,
+            strided=dense,
         )
         st, occm = _stepper(unified, n_nodes, st, steps, layout=layout,
                             idle_spread=idle_spread, occm=occm,
@@ -754,7 +887,7 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
                           pad_to: int | None = None,
                           return_film: bool = False,
                           rfilter: str = "box", n_slots: int = 2,
-                          arm_every: int = 1):
+                          arm_every: int = 1, flush: str = "auto"):
     """record_full on the two-path pipelined machine — same PathRecord
     (bit-equal: same rays, same RNG dims, same flush layout), recorded with
     the idle-filling scheduler.  Drop-in for replay.record_full.
@@ -779,14 +912,27 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
     r_prim = jnp.full((n_slots, n_lanes, max_depth), -1, jnp.int32)
     r_u = jnp.zeros((n_slots, n_lanes, max_depth), jnp.float32)
     r_v = jnp.zeros((n_slots, n_lanes, max_depth), jnp.float32)
-    # glob rows: [0:D] record layout, row D = flushed radiance (L.rgb, 0)
-    glob = jnp.tile(
-        jnp.concatenate([
-            _prim_encode(jnp.full((1,), -1, jnp.int32)),
-            jnp.zeros((3,), jnp.float32),
-        ]),
-        (rows + 1, max_depth + 1, 1),
-    )
+    miss_row = jnp.concatenate([
+        _prim_encode(jnp.full((1,), -1, jnp.int32)),
+        jnp.zeros((3,), jnp.float32),
+    ])
+    G = (n_rays + n_slots * n_lanes - 1) // (n_slots * n_lanes)
+    # dense gen-flush when the per-round dense write stays cheap
+    # (G * S * N * (D+1) * 16 bytes of streaming per round)
+    dense = (flush == "dense" or
+             (flush == "auto"
+              and G * n_slots * n_lanes * (max_depth + 1) * 16
+              <= 700 * 1024 * 1024))
+    if dense:
+        glob = jnp.tile(miss_row, (G, n_slots, n_lanes,
+                                   max_depth + 1, 1))
+        iota = jnp.arange(n_lanes, dtype=jnp.uint32)
+        st = dataclasses.replace(st, idx=jnp.stack(
+            [iota + jnp.uint32(p * n_lanes)
+             - jnp.uint32(n_slots * n_lanes) for p in range(n_slots)]))
+    else:
+        # glob rows: [0:D] record layout, row D = radiance (L.rgb, 0)
+        glob = jnp.tile(miss_row, (rows + 1, max_depth + 1, 1))
     next_ray = jnp.zeros((), jnp.uint32)
     seed_u = jnp.uint32(seed)
     unified, n_nodes = unify_tables(scene.bvh)
@@ -795,11 +941,19 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
             scene, st, occm, r_prim, r_u, r_v, glob, next_ray,
             seed_u, jnp.uint32(n_rays), unified, n_nodes=n_nodes, spp=spp,
             max_depth=max_depth, rr_depth=rr_depth, steps=steps,
-            n_rounds=rounds_per_launch, arm_every=arm_every,
+            n_rounds=rounds_per_launch, arm_every=arm_every, dense=dense,
         )
         n_alive, cursor = jax.device_get(_poll2(st, next_ray))
         if int(cursor) >= n_rays and int(n_alive) == 0:
             break
+    if dense:
+        glob = glob.reshape(G * n_slots * n_lanes, max_depth + 1, 4)
+        if rows > glob.shape[0]:
+            glob = jnp.concatenate([
+                glob,
+                jnp.tile(miss_row,
+                         (rows - glob.shape[0], max_depth + 1, 1)),
+            ])
     rayL = glob[:n_rays, max_depth, 0:3]
     glob = glob[:rows, :max_depth]
     rec = PathRecord(

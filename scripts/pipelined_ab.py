@@ -42,7 +42,7 @@ def main():
     results = {}
     ref_mean, ref_depth = None, None
     for c in cfgs:
-        parts = c.split(":")      # kind:lanes:steps[:depth[:slots[:arm]]]
+        parts = c.split(":")  # kind:lanes:steps[:depth[:slots[:arm[:ret]]]]
         kind, lanes, steps = parts[0], int(parts[1]), int(parts[2])
         dep = int(parts[3]) if len(parts) > 3 else depth
         fn = render_persistent if kind == "persistent" else render_pipelined
@@ -57,6 +57,8 @@ def main():
             kw["n_slots"] = int(parts[4])
         if len(parts) > 5:
             kw["arm_every"] = int(parts[5])
+        if len(parts) > 6:
+            kw["retire"] = parts[6]
         t0 = time.perf_counter()
         img = fn(scene, seed=1, **kw)
         jax.block_until_ready(img)

@@ -70,6 +70,25 @@ def test_pipelined_engine_stays_busy(box):
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
 
 
+def test_dense_retire_matches_scatter(box):
+    """Strided ray ownership + gen-indexed dense retire (round-5) must be
+    invisible in the image: RNG and shading key on the RAY index, so
+    reassigning which lane traces which ray and replacing the retire
+    scatter with the dense generation write changes nothing.  Exercises
+    G>1 (n_lanes far below the wavefront), a non-dividing lane count, and
+    3 slots (S*N not a power of two)."""
+    a = np.asarray(render_pipelined(
+        box, seed=5, spp=4, max_depth=5, rr_depth=2, steps=8,
+        rounds_per_launch=4, n_lanes=512, retire="scatter"))
+    for kw in (dict(n_lanes=512), dict(n_lanes=96),
+               dict(n_lanes=96, n_slots=3)):
+        b = np.asarray(render_pipelined(
+            box, seed=5, spp=4, max_depth=5, rr_depth=2, steps=8,
+            rounds_per_launch=4, retire="dense", **kw))
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6,
+                                   err_msg=str(kw))
+
+
 def test_pipelined_recorder_matches_record_full(box):
     """record_full_pipelined must produce a bit-equal PathRecord: same
     rays, same RNG dims, same packed flush layout — only the engine
@@ -87,6 +106,14 @@ def test_pipelined_recorder_matches_record_full(box):
     b = record_full_pipelined(box, 3, n, n_lanes=128, **kw)
     c = record_full_pipelined(box, 3, n, n_lanes=96, n_slots=3, **kw)
     d = record_full_pipelined(box, 3, n, n_lanes=128, arm_every=4, **kw)
+    # round-5 strided-ownership dense gen flush: same PathRecord, and
+    # exercised at G>1 with a non-dividing lane count
+    e = record_full_pipelined(box, 3, n, n_lanes=96, flush="dense", **kw)
+    for f in ("prim", "u", "v", "occl"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(e, f)), np.asarray(getattr(a, f)),
+            err_msg=f"dense {f}",
+        )
     for f in ("prim", "u", "v", "occl"):
         np.testing.assert_array_equal(
             np.asarray(getattr(b, f)), np.asarray(getattr(a, f)), err_msg=f
