@@ -60,11 +60,12 @@ def _d65_rung():
     if os.environ.get("BENCH_SKIP_D65") == "1" or \
             os.environ.get("BENCH_SMALL") == "1":
         return None
-    # steps=48 for BOTH the renderer and recorder at depth 65 (chip
-    # sweeps: fwd 219.1k vs 209.7k at 32; record 18.03 s vs 19.51 —
-    # deep specs amortize the round boundary over longer rounds)
+    # renderer steps=32 with the round-5 dense gen-retire (chip A/B:
+    # dense/32 218.2k vs the round-4 scatter/48 optimum 212.6k);
+    # recorder stays steps=48/scatter until re-swept (flush="auto"
+    # keeps the scatter at d65 — the dense write would stream 4 GB/round)
     return dict(res="1280x720", spp=4, depth=65, tris=2_000_000, chunk=768,
-                sched="pipelined", steps=48, rec_steps=48)
+                sched="pipelined", steps=32, rec_steps=48)
 
 
 def _run_cfg(cfg, deadline):

@@ -671,8 +671,12 @@ def render_pipelined(scene: Scene, seed: int = 0, spp: int = 16,
     `retire`: "dense" uses strided ray ownership + the gen-indexed dense
     retire (round-5, replaces the two ~52 ns/row per-slot scatters);
     "scatter" the legacy prefix-sum refill + scatter retire; "auto"
-    picks dense when the generation count G = ceil(rays / (S*N)) fits
-    `gen_cap` (the dense write streams G*N rows per round)."""
+    picks dense for DEEP specs (max_depth >= 16) when the generation
+    count G = ceil(rays / (S*N)) fits `gen_cap`.  Chip A/B (BENCH.md
+    round 5): at d65 dense/steps=32 is +9.4% over scatter/32 and +2.6%
+    over the old scatter/48 optimum; at d8 dense loses ~2.6% — strided
+    ownership forfeits the global-cursor load balancing, which at
+    shallow specs outweighs the removed scatter."""
     w, h = scene.camera.resolution
     n_total = w * h * spp
     n_lanes = min(n_lanes, max(n_total // n_slots, 1))
@@ -685,7 +689,8 @@ def render_pipelined(scene: Scene, seed: int = 0, spp: int = 16,
     unified, n_nodes = unify_tables(scene.bvh)
     idx0 = jnp.uint32(0)
     G = (n_total + n_slots * n_lanes - 1) // (n_slots * n_lanes)
-    dense = retire == "dense" or (retire == "auto" and G <= gen_cap)
+    dense = retire == "dense" or (
+        retire == "auto" and max_depth >= 16 and G <= gen_cap)
     if dense:
         rayL = jnp.zeros((G, n_slots, n_lanes, 3), m.Float)
         iota = jnp.arange(n_lanes, dtype=jnp.uint32)
