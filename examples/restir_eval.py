@@ -133,11 +133,13 @@ for ci, overrides in enumerate(CONFIG_PAIRS[mode]):
         if mode == "dynamic":
             # the camera moves every frame: a static cached reference would
             # measure scene divergence, not estimator error — render a
-            # moderate-spp per-frame reference instead
+            # moderate-spp per-frame reference instead (RESTIR_DYN_REF_SPP
+            # env; the per-frame reference dominates wall time at 1024^2)
+            dyn_spp = int(os.environ.get("RESTIR_DYN_REF_SPP", "64"))
             if jax.devices()[0].platform == "cpu" and chunk == 0:
                 ref = np.asarray(render(
                     cur_scene, PathIntegrator(max_depth=8, rr_depth=2),
-                    spp=64,
+                    spp=dyn_spp,
                 ))
             else:
                 from mitsuba3_experiments_tpu.integrators.persistent import (
@@ -145,7 +147,7 @@ for ci, overrides in enumerate(CONFIG_PAIRS[mode]):
                 )
 
                 ref = np.asarray(render_persistent(
-                    cur_scene, spp=64, max_depth=8, rr_depth=2,
+                    cur_scene, spp=dyn_spp, max_depth=8, rr_depth=2,
                     n_lanes=32768, rounds_per_launch=32,
                 ))
         diff = np.asarray(img) - ref

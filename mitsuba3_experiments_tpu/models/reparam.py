@@ -67,23 +67,33 @@ def nll_loss(params, z, log_p_ref, defensive=0.05):
 
 def train_reparam(log_p_ref, cfg: ReparamConfig = ReparamConfig(),
                   n_iters=1000, batch=1 << 12, lr=1e-3, seed=0):
+    """Adam on the NLL; iterations run in jitted lax.scan chunks of 100
+    (one device dispatch per chunk — a per-step host loop through the
+    axon tunnel costs ~ms of latency per iteration)."""
     key = jax.random.PRNGKey(seed)
     key, k = jax.random.split(key)
     params = init_map(k, cfg)
     opt = optax.adam(lr)
     opt_state = opt.init(params)
+    chunk = min(100, n_iters)
 
     @jax.jit
-    def step(params, opt_state, key):
-        z = jax.random.uniform(key, (batch, cfg.dim))
-        loss, grads = jax.value_and_grad(nll_loss)(params, z, log_p_ref)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    def run_chunk(params, opt_state, key):
+        def one(carry, k):
+            params, opt_state = carry
+            z = jax.random.uniform(k, (batch, cfg.dim))
+            loss, grads = jax.value_and_grad(nll_loss)(
+                params, z, log_p_ref)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            one, (params, opt_state), jax.random.split(key, chunk))
+        return params, opt_state, losses[-1]
 
     losses = []
-    for i in range(n_iters):
+    for _ in range(max(n_iters // chunk, 1)):
         key, k = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, k)
-        if (i + 1) % 100 == 0:
-            losses.append(float(loss))
+        params, opt_state, loss = run_chunk(params, opt_state, k)
+        losses.append(float(loss))
     return params, losses
