@@ -73,7 +73,7 @@ def log_p_ref(x):
 def sample_hist(params, n=1 << 20, bins=128):
     """Histogram of T(z), z ~ U[0,1]^2 — the warped sampler's density."""
     z = jax.random.uniform(jax.random.PRNGKey(9), (n, 2))
-    x = np.asarray(rp.apply_map(params, z))
+    x = np.asarray(rp.apply_map(params, z, squash=True))
     hist, _, _ = np.histogram2d(
         x[:, 1], x[:, 0], bins=bins, range=[[0, 1], [0, 1]]
     )
@@ -84,7 +84,8 @@ def dump(name, a):
     write_png(name, np.repeat(np.asarray(a, np.float32)[..., None], 3, -1))
 
 
-cfg = rp.ReparamConfig(dim=2, hidden=64, depth=4)
+cfg = rp.ReparamConfig(dim=2, hidden=64, depth=4, squash=True,
+                       fold_penalty=25.0)
 params0 = rp.init_map(jax.random.PRNGKey(1), cfg)
 
 os.makedirs("artifacts", exist_ok=True)

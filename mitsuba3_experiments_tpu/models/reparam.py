@@ -32,6 +32,17 @@ class ReparamConfig:
     dim: int = 2
     hidden: int = 32
     depth: int = 3
+    # squash: wrap the MLP as sigmoid(MLP(logit(z))) so T maps the unit
+    # square to itself.  Without it, long NLL runs diverge: outside the
+    # square the target floor is flat, so the optimizer inflates |det J|
+    # without bound (measured: a 100k-iter run reached NLL -2.36 with a
+    # structureless pushforward).  Identity init is preserved exactly
+    # (sigmoid(logit(z)) = z), and det J picks up the chain factors
+    # automatically through jacfwd.
+    squash: bool = False
+    # fold_penalty: see nll_loss — keeps T orientation-preserving
+    # (bijective), which the reverse-KL objective requires
+    fold_penalty: float = 0.0
 
 
 def init_map(key, cfg: ReparamConfig):
@@ -39,30 +50,46 @@ def init_map(key, cfg: ReparamConfig):
     return identity_init_mlp(key, sizes)
 
 
-def apply_map(params, z):
+def apply_map(params, z, squash: bool = False):
     """T(z): the learned sampling map (fp32 — second-order work wants full
-    precision)."""
-    h = z
+    precision).  squash: sigmoid(MLP(logit(z))) — see ReparamConfig."""
+    eps = 1e-5
+    h = jnp.log(jnp.clip(z, eps, 1 - eps) / (1 - jnp.clip(z, eps, 1 - eps))) \
+        if squash else z
     for i, layer in enumerate(params):
         h = h @ layer["w"] + layer["b"]
         if i < len(params) - 1:
             h = talu(h)
-    return h
+    return jax.nn.sigmoid(h) if squash else h
 
 
-def det_jacobian(params, z):
-    """|det J_T(z)| per sample via forward-mode (vmapped jacfwd)."""
-    J = jax.vmap(jax.jacfwd(lambda zz: apply_map(params, zz)))(z)
-    return jnp.abs(jnp.linalg.det(J))
+def det_jacobian(params, z, squash: bool = False, signed: bool = False):
+    """det J_T(z) per sample via forward-mode (vmapped jacfwd); abs
+    unless signed=True."""
+    J = jax.vmap(jax.jacfwd(lambda zz: apply_map(params, zz, squash)))(z)
+    d = jnp.linalg.det(J)
+    return d if signed else jnp.abs(d)
 
 
-def nll_loss(params, z, log_p_ref, defensive=0.05):
-    """-log( p_ref(T(z)) |det J| ) with a defensive mixture (cell 21)."""
-    x = apply_map(params, z)
-    detJ = det_jacobian(params, z)
-    p = jnp.exp(log_p_ref(x)) * detJ
+def nll_loss(params, z, log_p_ref, defensive=0.05, squash: bool = False,
+             fold_penalty: float = 0.0):
+    """-log( p_ref(T(z)) |det J| ) with a defensive mixture (cell 21).
+
+    The objective is reverse KL and only valid while T stays BIJECTIVE
+    (q(T(z)) = 1/|det J| needs single cover): long runs otherwise learn
+    folded multi-cover maps whose |det J| > 1 everywhere and the NLL
+    diverges to -inf with a structureless pushforward (measured).  A
+    continuous fold reverses orientation across its crease, so
+    `fold_penalty` * relu(-det) (signed det) keeps T orientation-
+    preserving and the objective in the flow regime."""
+    x = apply_map(params, z, squash)
+    det = det_jacobian(params, z, squash, signed=True)
+    p = jnp.exp(log_p_ref(x)) * jnp.abs(det)
     p = (1.0 - defensive) * p + defensive
-    return -jnp.mean(jnp.log(jnp.maximum(p, 1e-12)))
+    loss = -jnp.mean(jnp.log(jnp.maximum(p, 1e-12)))
+    if fold_penalty:
+        loss = loss + fold_penalty * jnp.mean(jax.nn.relu(-det))
+    return loss
 
 
 def train_reparam(log_p_ref, cfg: ReparamConfig = ReparamConfig(),
@@ -83,7 +110,8 @@ def train_reparam(log_p_ref, cfg: ReparamConfig = ReparamConfig(),
             params, opt_state = carry
             z = jax.random.uniform(k, (batch, cfg.dim))
             loss, grads = jax.value_and_grad(nll_loss)(
-                params, z, log_p_ref)
+                params, z, log_p_ref, squash=cfg.squash,
+                fold_penalty=cfg.fold_penalty)
             updates, opt_state = opt.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state), loss
 
