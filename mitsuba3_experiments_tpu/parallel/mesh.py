@@ -90,6 +90,8 @@ def _render_pass_sharded(scene, integrator, seed, pass_idx,
         out_specs=P(),
         # the bounce loop mixes replicated (scene) and varying (lane) state;
         # VMA inference can't type the while carry, so it is disabled here
+        # (retried on jax 0.9, round 5: still TypeErrors at trace time —
+        # the equality tests vs the single-device renderer are the guard)
         check_vma=False,
     )
     return shard_fn(scene, lanes)
