@@ -922,12 +922,13 @@ def record_full_pipelined(scene: Scene, seed, n_rays: int, *, spp: int,
         jnp.zeros((3,), jnp.float32),
     ])
     G = (n_rays + n_slots * n_lanes - 1) // (n_slots * n_lanes)
-    # dense gen-flush when the per-round dense write stays cheap
-    # (G * S * N * (D+1) * 16 bytes of streaming per round)
-    dense = (flush == "dense" or
-             (flush == "auto"
-              and G * n_slots * n_lanes * (max_depth + 1) * 16
-              <= 700 * 1024 * 1024))
+    # flush="auto" keeps the scatter: the chip A/B (BENCH.md round 5,
+    # record_flush_ab) measured dense 270.9k vs scatter 280.8k rays/s at
+    # the d8 flagship — the strided ownership's forfeited load balancing
+    # costs more than the flush scatter saves, and at d65 the dense
+    # write would stream ~4 GB/round.  "dense" stays as an explicit,
+    # bit-equal option.
+    dense = flush == "dense"
     if dense:
         glob = jnp.tile(miss_row, (G, n_slots, n_lanes,
                                    max_depth + 1, 1))
