@@ -35,10 +35,12 @@ def _ladder():
         if k in os.environ:
             env[k.split("_", 1)[1].lower()] = cast(os.environ[k])
     base = [
-        # sched/steps: the round-4 adopted two-path pipelined scheduler at
-        # its measured optimum (BENCH.md: 284.1k vs 246.3k rays/s fwd)
+        # sched/steps: the two-path pipelined scheduler at its measured
+        # optima — post slot-major (round 5) the RENDERER's best point is
+        # 49152/32 (275.3k vs 267.9k at 65536) while the RECORDER stays
+        # 65536/32 (280.8k vs 274.5k at 49152), so the lane counts split
         dict(res="1280x720", spp=4, depth=8, tris=2_000_000, chunk=768,
-             sched="pipelined", steps=32),
+             sched="pipelined", steps=32, fwd_lanes=49152),
         dict(res="640x360", spp=2, depth=6, tris=500_000, chunk=768,
              sched="pipelined", steps=32),
         # last-resort rung: the round-1 lockstep path, whose tiny program is
@@ -216,7 +218,8 @@ def worker(cfg):
     else:
         pkw = dict(
             spp=spp, max_depth=depth, rr_depth=4, rfilter="tent",
-            n_lanes=cfg.get("n_lanes", 65536), steps=cfg.get("steps", 20),
+            n_lanes=cfg.get("fwd_lanes", cfg.get("n_lanes", 65536)),
+            steps=cfg.get("steps", 20),
             rounds_per_launch=cfg.get("rpl", 32),
         )
         img = _render(scene, seed=0, **pkw)

@@ -5,7 +5,7 @@ gen-indexed flush streams ~0.5 GB/round instead.  Records the flagship
 frame, digests must be EQUAL.
 
 Usage: python scripts/record_flush_ab.py [depth] [cfg ...]
-  cfg = steps:flush, e.g. 32:scatter 32:dense 24:dense
+  cfg = steps:flush[:lanes], e.g. 32:scatter 32:dense:49152
 """
 import json
 import os
@@ -57,9 +57,11 @@ def main():
     results = {"depth": depth}
     ref_sum = None
     for c in cfgs:
-        stp, flush = c.split(":")
+        parts = c.split(":")
+        stp, flush = parts[0], parts[1]
+        lanes = int(parts[2]) if len(parts) > 2 else 65536
         kw = dict(spp=spp, max_depth=depth, rr_depth=4, steps=int(stp),
-                  rounds_per_launch=32, n_lanes=65536, pad_to=pad,
+                  rounds_per_launch=32, n_lanes=lanes, pad_to=pad,
                   flush=flush)
         rec = record_full_pipelined(scene, 1, n_rays, **kw)
         jax.block_until_ready(rec.prim)
