@@ -23,7 +23,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 
-from mitsuba3_experiments_tpu.integrators.persistent import render_persistent
+from mitsuba3_experiments_tpu.integrators.pipelined import render_pipelined
 from mitsuba3_experiments_tpu.scene.flagship import load_flagship
 from mitsuba3_experiments_tpu.utils.image import write_exr, write_png
 
@@ -34,10 +34,16 @@ print("device:", jax.devices()[0], flush=True)
 scene, _ = load_flagship(res=(1280, 720), spp=spp, tri_budget=2_000_000)
 n_rays = 1280 * 720 * spp
 
+# two-path pipelined scheduler, scatter retire, steps=48: the measured
+# best for the spp-64 workload.  The spp-4 rung's dense/32 optimum does
+# NOT transfer here: at spp 64 the generation count is G=450 and the
+# dense gen-write measured ~2x slower end-to-end (the (G, S, N, 3)
+# axis-1 slice relayouts per round at this G) — BENCH.md round 5.
 kw = dict(spp=spp, max_depth=depth, rr_depth=4, rfilter="tent",
-          n_lanes=65536, steps=24, rounds_per_launch=32)
+          n_lanes=65536, steps=48, rounds_per_launch=32,
+          retire="scatter")
 t0 = time.perf_counter()
-img = np.asarray(render_persistent(scene, seed=0, **kw))
+img = np.asarray(render_pipelined(scene, seed=0, **kw))
 dt = time.perf_counter() - t0
 print(f"spp {spp} depth {depth}: {dt:.1f}s = {n_rays/dt:.0f} rays/s "
       f"(incl. compile), mean {img.mean():.4f}, nan {np.isnan(img).sum()}",
